@@ -1,0 +1,116 @@
+"""Headless platform — the primary benchmark harness.
+
+Keeps the CLI contract of the reference's gltf-viewer-headless
+(application/platforms/application_headless.cpp:469-505):
+  --frames --width --height --time-step --png-path --png-reference-path
+  --stat out.json
+and the stat JSON schema (averageFrameTimeUs + device info,
+application_headless.cpp:638-653) so sweep/compare tooling runs unchanged
+against both engines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..core.stats import StatSink
+from ..utils.logging import LOGI, LOGE
+from ..utils.timer import FrameTimer, get_current_time_nsecs
+from ..utils.image_io import save_png
+from .application import Application
+
+
+def add_headless_cli(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--frames", type=int, default=0,
+                        help="render N frames then exit (0 = 1 frame)")
+    parser.add_argument("--width", type=int, default=1280)
+    parser.add_argument("--height", type=int, default=720)
+    parser.add_argument("--time-step", type=float, default=None,
+                        dest="time_step",
+                        help="fixed frame time step in seconds")
+    parser.add_argument("--png-path", type=str, default=None, dest="png_path")
+    parser.add_argument("--png-reference-path", type=str, default=None,
+                        dest="png_reference_path")
+    parser.add_argument("--stat", type=str, default=None,
+                        help="write stat JSON to this path")
+    parser.add_argument("--warmup-frames", type=int, default=2,
+                        dest="warmup_frames",
+                        help="untimed compile/warmup frames")
+
+
+def run_headless(app: Application, args: argparse.Namespace) -> int:
+    frames = max(args.frames, 1)
+    app.swapchain_updated(args.width, args.height)
+
+    timer = FrameTimer()
+    stats = StatSink(app.device.backend.gpu_name())
+
+    # Warmup: trigger trace+compile outside the timed region (the analogue
+    # of Fossilize pipeline warm-up before benchmarking).
+    for _ in range(max(args.warmup_frames, 0)):
+        out = app.render_frame(args.time_step or (1.0 / 60.0), 0.0)
+        out.block_until_ready()
+
+    last_image = None
+    t_begin = get_current_time_nsecs()
+    for i in range(frames):
+        ft = timer.frame(fixed_step=args.time_step)
+        t0 = get_current_time_nsecs()
+        out = app.render_frame(ft, timer.get_elapsed())
+        app.device.frame().track(out)
+        # Per-frame wall time needs a sync; pipelined throughput is measured
+        # by the outer loop (frame contexts keep >=2 frames in flight).
+        if args.stat or i == frames - 1:
+            out.block_until_ready()
+        stats.add_frame((get_current_time_nsecs() - t0) * 1e-9)
+        app.device.next_frame_context()
+        app.post_frame()
+        last_image = out
+    total_s = (get_current_time_nsecs() - t_begin) * 1e-9
+    stats.counters["wallTimePerFrameUs"] = 1e6 * total_s / frames
+    for tag, us in app.device.stats.averages_us().items():
+        stats.intervals.accumulate(tag, us * 1e-6)
+
+    psnr = None
+    if last_image is not None and (args.png_path or args.png_reference_path):
+        host = np.asarray(last_image)
+        if args.png_path:
+            save_png(args.png_path, host)
+            LOGI("Wrote %s", args.png_path)
+        if args.png_reference_path:
+            from ..utils.image_io import load_image
+            ref = load_image(args.png_reference_path)
+            if ref.shape[:2] != host.shape[:2]:
+                LOGE("reference size mismatch: %s vs %s",
+                     ref.shape, host.shape)
+                return 1
+            from ..utils.image_compare import psnr_channels
+            psnr = psnr_channels(host, ref)
+            LOGI("PSNR vs reference: %s", psnr)
+
+    if args.stat:
+        if psnr is not None:
+            stats.counters.update(psnr)
+        stats.write(args.stat)
+        LOGI("Wrote %s (averageFrameTimeUs=%.1f)", args.stat,
+             stats.average_frame_time_us())
+    else:
+        LOGI("averageFrameTimeUs=%.1f over %d frames",
+             stats.average_frame_time_us(), frames)
+    app.teardown()
+    return 0
+
+
+def headless_main(app_factory, argv=None) -> int:
+    """application_main analogue (application/application_entry.cpp:88)."""
+    parser = argparse.ArgumentParser()
+    add_headless_cli(parser)
+    app_factory_args = getattr(app_factory, "add_cli", None)
+    if app_factory_args:
+        app_factory_args(parser)
+    args = parser.parse_args(argv)
+    app = app_factory(args)
+    return run_headless(app, args)

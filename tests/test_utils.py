@@ -1,0 +1,56 @@
+"""Foundation utility tests (analogues of reference unit tests:
+lru_cache_test.cpp, thread_group_test.cpp, etc. per SURVEY.md §4.3)."""
+
+import json
+import os
+
+from granite_tpu.utils import (
+    fnv1a, Hasher, FrameTimer, TimelineTraceFile, scoped_timeline_event,
+    get_environment_bool, get_environment_int,
+)
+
+
+def test_fnv1a_known_vectors():
+    # FNV-1a 64-bit reference vectors.
+    assert fnv1a(b"") == 0xCBF29CE484222325
+    assert fnv1a(b"a") == 0xAF63DC4C8601EC8C
+    assert fnv1a("foobar") == 0x85944171F73967E8
+
+
+def test_hasher_streaming():
+    h1 = Hasher().string("pass").u32(7).f32(1.5).get()
+    h2 = Hasher().string("pass").u32(7).f32(1.5).get()
+    h3 = Hasher().string("pass").u32(8).f32(1.5).get()
+    assert h1 == h2 and h1 != h3
+
+
+def test_frame_timer_fixed_step():
+    t = FrameTimer()
+    assert t.frame(fixed_step=0.01) == 0.01
+    assert t.frame(fixed_step=0.01) == 0.01
+    assert abs(t.get_elapsed() - 0.02) < 1e-9
+
+
+def test_timeline_trace(tmp_path):
+    path = str(tmp_path / "trace.json")
+    tf = TimelineTraceFile(path)
+    TimelineTraceFile.set_instance(tf)
+    with scoped_timeline_event("frame"):
+        with scoped_timeline_event("pass"):
+            pass
+    tf.complete_event("device:gbuffer", 100.0, 50.0, tid=99)
+    tf.flush()
+    TimelineTraceFile.set_instance(None)
+    data = json.load(open(path))
+    names = [e.get("name") for e in data["traceEvents"]]
+    assert "frame" in names and "pass" in names and "device:gbuffer" in names
+    phases = [e["ph"] for e in data["traceEvents"]]
+    assert phases.count("B") == 2 and phases.count("E") == 2
+
+
+def test_environment_helpers():
+    os.environ["GRANITE_TEST_INT"] = "42"
+    os.environ["GRANITE_TEST_BOOL"] = "1"
+    assert get_environment_int("GRANITE_TEST_INT") == 42
+    assert get_environment_bool("GRANITE_TEST_BOOL")
+    assert get_environment_int("GRANITE_TEST_MISSING", 7) == 7
