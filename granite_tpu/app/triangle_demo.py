@@ -11,12 +11,10 @@ Run:  python -m granite_tpu.app.triangle_demo --width 1280 --height 720 \
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..graph import RenderGraph, AttachmentInfo, Queue
 from ..ops import raster as R
 from ..ops import texture as T
 from ..ops.srgb import encode_rgba8
@@ -37,21 +35,44 @@ def checkerboard(size: int = 256, tiles: int = 8) -> np.ndarray:
 
 
 class TriangleApplication(Application):
+    """Two graph passes: 'triangle' shades the rotating textured triangle
+    into an HDR-ish linear color target; 'blit' sRGB-encodes into the
+    backbuffer — exercising the render graph end to end from config 1 on."""
+
     CLEAR_COLOR = jnp.array([0.01, 0.02, 0.05], jnp.float32)
 
     def __init__(self, args=None):
         super().__init__()
         self.mips = None
-        self._frame_fn = None
+        self.graph = RenderGraph()
+        self._history = None
 
     def swapchain_updated(self, width: int, height: int) -> None:
         super().swapchain_updated(width, height)
         self.mips = T.build_mips(jnp.asarray(checkerboard()))
-        self._frame_fn = jax.jit(
-            functools.partial(self._frame, width=width, height=height))
+        g = self.graph
+        g.reset()
+        g.set_backbuffer_dimensions(width, height)
+        g.add_pass("triangle", Queue.GRAPHICS) \
+            .add_external_input("texture") \
+            .add_color_output("color", AttachmentInfo(channels=3)) \
+            .set_execute(self._triangle_pass)
+        g.add_pass("blit", Queue.GRAPHICS) \
+            .add_texture_input("color") \
+            .add_color_output("backbuffer",
+                              AttachmentInfo(channels=4, dtype=jnp.uint8)) \
+            .set_execute(lambda ctx: {
+                "backbuffer": encode_rgba8(ctx.input("color"))})
+        g.set_backbuffer_source("backbuffer")
+        g.bake()
+        g.log()
+        self._history = g.initial_history()
 
     @staticmethod
-    def _frame(mips, angle, *, width: int, height: int):
+    def _triangle_pass(ctx):
+        height, width = ctx.backbuffer_size()
+        mips = ctx.input("texture")
+        angle = ctx.params["angle"]
         c, s = jnp.cos(angle), jnp.sin(angle)
         base = jnp.array([
             [-0.6, 0.5, 0.5],
@@ -78,11 +99,13 @@ class TriangleApplication(Application):
         covered = (tri >= 0)[..., None]
         color = jnp.where(covered, texel[..., :3],
                           TriangleApplication.CLEAR_COLOR)
-        return encode_rgba8(color)
+        return {"color": color}
 
     def render_frame(self, frame_time: float, elapsed_time: float):
-        return self._frame_fn(self.mips,
-                              jnp.float32(0.3 * elapsed_time))
+        params = {"external": {"texture": self.mips},
+                  "angle": jnp.float32(0.3 * elapsed_time)}
+        out, self._history = self.graph.execute(params, self._history)
+        return out
 
 
 def main(argv=None) -> int:

@@ -1,0 +1,171 @@
+"""RenderGraph bake semantics vs hand-computed DAGs (analogue of
+tests/render_graph_sandbox.cpp): traversal, dead-pass elimination,
+topo order, history carry, validation errors."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from granite_tpu.graph import (
+    RenderGraph, AttachmentInfo, BufferInfo, SizeClass, Queue,
+    RenderGraphError,
+)
+
+
+def small():
+    return AttachmentInfo(size_class=SizeClass.ABSOLUTE, size_x=4, size_y=4,
+                          channels=1)
+
+
+def _fill(value):
+    def ex(ctx):
+        h, w = ctx.backbuffer_size()
+        return {"a": jnp.full((4, 4), value)}
+    return ex
+
+
+def build_linear_graph():
+    g = RenderGraph()
+    g.set_backbuffer_dimensions(4, 4)
+    g.add_pass("produce").add_color_output("a", small()).set_execute(
+        lambda ctx: {"a": jnp.ones((4, 4)) * ctx.params["x"]})
+    g.add_pass("double").add_texture_input("a") \
+        .add_color_output("b", small()) \
+        .set_execute(lambda ctx: {"b": ctx.input("a") * 2})
+    g.add_pass("plus_one").add_texture_input("b") \
+        .add_color_output("c", small()) \
+        .set_execute(lambda ctx: {"c": ctx.input("b") + 1})
+    g.set_backbuffer_source("c")
+    return g
+
+
+def test_linear_order_and_execute():
+    g = build_linear_graph()
+    g.bake()
+    assert g.pass_order == ["produce", "double", "plus_one"]
+    out, hist = g.execute({"x": 3.0}, g.initial_history())
+    assert np.allclose(np.asarray(out), 7.0)
+    assert hist == {}
+
+
+def test_dead_pass_elimination():
+    g = build_linear_graph()
+    # An expensive pass nobody reads must be culled (filter_passes).
+    g.add_pass("dead").add_color_output("unused", small()).set_execute(
+        lambda ctx: {"unused": jnp.zeros((4, 4))})
+    g.bake()
+    assert "dead" not in g.pass_order
+    assert len(g.pass_order) == 3
+
+
+def test_diamond_order():
+    g = RenderGraph()
+    g.set_backbuffer_dimensions(4, 4)
+    g.add_pass("src").add_color_output("s", small()).set_execute(
+        lambda ctx: {"s": jnp.ones((4, 4))})
+    g.add_pass("left").add_texture_input("s").add_color_output(
+        "l", small()).set_execute(lambda ctx: {"l": ctx.input("s") * 2})
+    g.add_pass("right").add_texture_input("s").add_color_output(
+        "r", small()).set_execute(lambda ctx: {"r": ctx.input("s") * 3})
+    g.add_pass("join").add_texture_input("l").add_texture_input("r") \
+        .add_color_output("j", small()).set_execute(
+            lambda ctx: {"j": ctx.input("l") + ctx.input("r")})
+    g.set_backbuffer_source("j")
+    g.bake()
+    order = g.pass_order
+    assert order[0] == "src" and order[-1] == "join"
+    assert set(order[1:3]) == {"left", "right"}
+    out, _ = g.execute({}, g.initial_history())
+    assert np.allclose(np.asarray(out), 5.0)
+
+
+def test_history_feedback():
+    # TAA-style: blend current value with last frame's output.
+    g = RenderGraph()
+    g.set_backbuffer_dimensions(4, 4)
+    g.add_pass("taa").add_history_input("out").add_color_output(
+        "out", small()).set_execute(
+            lambda ctx: {"out": 0.5 * ctx.history("out") + 1.0})
+    g.set_backbuffer_source("out")
+    g.bake()
+    hist = g.initial_history()
+    assert "out" in hist and np.all(np.asarray(hist["out"]) == 0)
+    vals = []
+    for _ in range(4):
+        out, hist = g.execute({}, hist)
+        vals.append(float(np.asarray(out)[0, 0]))
+    # 1, 1.5, 1.75, 1.875 -> geometric approach to 2.
+    assert np.allclose(vals, [1.0, 1.5, 1.75, 1.875])
+
+
+def test_external_input():
+    g = RenderGraph()
+    g.set_backbuffer_dimensions(4, 4)
+    g.add_pass("use").add_external_input("scene").add_color_output(
+        "o", small()).set_execute(lambda ctx: {"o": ctx.input("scene") + 1})
+    g.set_backbuffer_source("o")
+    g.bake()
+    out, _ = g.execute({"external": {"scene": jnp.full((4, 4), 9.0)}},
+                       g.initial_history())
+    assert np.allclose(np.asarray(out), 10.0)
+
+
+def test_validation_errors():
+    g = RenderGraph()
+    g.set_backbuffer_dimensions(4, 4)
+    g.add_pass("p").add_texture_input("ghost").add_color_output(
+        "o", small()).set_execute(lambda ctx: {"o": jnp.zeros((4, 4))})
+    g.set_backbuffer_source("o")
+    with pytest.raises(RenderGraphError, match="never written"):
+        g.bake()
+
+    g2 = RenderGraph()
+    g2.set_backbuffer_dimensions(4, 4)
+    g2.add_pass("w1").add_color_output("x", small()).set_execute(
+        lambda ctx: {"x": jnp.zeros((4, 4))})
+    with pytest.raises(RenderGraphError, match="written by both"):
+        g2.add_pass("w2").add_color_output("x", small())
+
+    g3 = RenderGraph()
+    g3.set_backbuffer_dimensions(4, 4)
+    with pytest.raises(RenderGraphError, match="no backbuffer"):
+        g3.bake()
+
+
+def test_cycle_detection():
+    g = RenderGraph()
+    g.set_backbuffer_dimensions(4, 4)
+    g.add_pass("a").add_texture_input("rb").add_color_output(
+        "ra", small()).set_execute(lambda ctx: {"ra": ctx.input("rb")})
+    g.add_pass("b").add_texture_input("ra").add_color_output(
+        "rb", small()).set_execute(lambda ctx: {"rb": ctx.input("ra")})
+    g.set_backbuffer_source("ra")
+    with pytest.raises(RenderGraphError, match="cycle"):
+        g.bake()
+
+
+def test_wrong_outputs_rejected():
+    g = RenderGraph()
+    g.set_backbuffer_dimensions(4, 4)
+    g.add_pass("p").add_color_output("o", small()).set_execute(
+        lambda ctx: {"wrong": jnp.zeros((4, 4))})
+    g.set_backbuffer_source("o")
+    g.bake()
+    with pytest.raises(RenderGraphError, match="declared"):
+        g.execute_traced({}, g.initial_history())
+
+
+def test_swapchain_relative_sizes():
+    info = AttachmentInfo(size_class=SizeClass.SWAPCHAIN_RELATIVE,
+                          size_x=0.5, size_y=0.5, channels=3)
+    assert info.shape(1920, 1080) == (540, 960, 3)
+    absolute = AttachmentInfo(size_class=SizeClass.ABSOLUTE, size_x=64,
+                              size_y=32, channels=1)
+    assert absolute.shape(1920, 1080) == (32, 64)
+
+
+def test_disabled_pass_feeding_backbuffer_raises():
+    g = build_linear_graph()
+    g._passes["double"].enabled = False
+    with pytest.raises(RenderGraphError, match="disabled"):
+        g.bake()
