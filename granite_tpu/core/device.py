@@ -40,15 +40,22 @@ class ContextCreationFlags:
 class Backend:
     """Platform/topology query — the Context analogue (context.hpp:249)."""
 
+    DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/granite_tpu/xla")
+
     def __init__(self, flags: ContextCreationFlags = ContextCreationFlags()):
         self.flags = flags
-        if flags.compilation_cache_dir:
-            # Fossilize / VkPipelineCache analogue (vulkan/pipeline_cache.cpp:262):
-            # persistent XLA compilation cache for instant warm starts.
-            os.makedirs(flags.compilation_cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir",
-                              flags.compilation_cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Fossilize / VkPipelineCache analogue (vulkan/pipeline_cache.cpp:262):
+        # persistent XLA compilation cache for instant warm starts.  On by
+        # default (GRANITE_DISABLE_PIPELINE_CACHE=1 to opt out) — compiles
+        # through the remote TPU tunnel can take minutes.
+        cache_dir = flags.compilation_cache_dir or self.DEFAULT_CACHE_DIR
+        if not os.environ.get("GRANITE_DISABLE_PIPELINE_CACHE"):
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.5)
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", -1)
         self.devices = jax.devices()
         self.default_device = self.devices[0]
         self.platform = self.default_device.platform

@@ -46,16 +46,33 @@ CULL_FRONT = 2
 class TriangleSetup(NamedTuple):
     """Vectorized triangle setup, one row per input triangle.
 
-    adj:    (T, 3, 3) sign-normalized adjugate rows; edge function i at
-            screen point s=(px,py,1) is lam_i = adj[i] @ s, interior has
-            all lam_i >= 0 (with the top-left rule on == 0).
-    zplane: (T, 3) plane coefficients of z_ndc: z(s) = zplane @ s.
+    Two sets of per-triangle data, both in TRIANGLE-RELATIVE coordinates
+    for float conditioning (the fixed-point-relative-to-tile trick of HW
+    rasterizers):
+
+    COVERAGE — `edge` (T, 3, 5): oriented edge functions (A, B, C, ex, ey);
+      E_i(p) = A*(px-ex) + B*(py-ey) + C, interior has all E_i >= 0 with
+      the top-left rule on == 0.  For w>0 triangles each edge is built from
+      its two vertices in CANONICAL order (smaller global vertex index
+      first, relative to that vertex, C = 0) and then orientation-flipped
+      (an exact float negation) — so two triangles sharing an edge compute
+      bitwise-complementary tests and every boundary pixel is covered
+      exactly once, no cracks, no double-shade.  Near-plane-crossing
+      triangles fall back to homogeneous adjugate rows (clip-less
+      rasterization, Olano-Greer).
+
+    INTERPOLATION — `adj` (T, 3, 3) sign-normalized adjugate rows
+      (lam_i = adj[i] @ (px-ox, py-oy, 1), perspective-correct barycentrics
+      after normalization) and `zplane` (T, 3) with z(s) = zplane @ s.
+
     valid:  (T,) bool — passes facing/degeneracy culls.
-    bbox:   (T, 4) int32 pixel-space [x0, y0, x1, y1] (inclusive-exclusive),
-            conservative; full-screen for near-plane-crossing triangles.
+    bbox:   (T, 4) int32 pixel [x0, y0, x1, y1) conservative bounds;
+            full-screen for near-plane-crossing triangles.
     """
     adj: jax.Array
     zplane: jax.Array
+    offset: jax.Array
+    edge: jax.Array
     valid: jax.Array
     bbox: jax.Array
 
@@ -75,6 +92,20 @@ def setup_triangles(clip: jax.Array, indices: jax.Array, width: int,
     #   px = ((x/w)*0.5 + 0.5) * width  =>  sx = (0.5*x + 0.5*w) * width
     sx = (0.5 * x + 0.5 * w) * width
     sy = (0.5 * y + 0.5 * w) * height
+
+    # Translate each triangle to its projected centroid (rounded) before
+    # building edge equations: homogeneous translation by (ox, oy) is
+    # sx' = sx - ox*w.  This is what keeps slivers numerically sane.
+    w_ok = w > 0
+    any_w_pos = w_ok.any(axis=1)
+    w_div = jnp.where(jnp.abs(w) < 1e-20, 1e-20, w)
+    proj_x = jnp.where(w_ok, sx / w_div, 0.0)
+    proj_y = jnp.where(w_ok, sy / w_div, 0.0)
+    n_ok = jnp.maximum(w_ok.sum(axis=1), 1)
+    ox = jnp.round(proj_x.sum(axis=1) / n_ok)
+    oy = jnp.round(proj_y.sum(axis=1) / n_ok)
+    sx = sx - ox[:, None] * w
+    sy = sy - oy[:, None] * w
     m = jnp.stack([sx, sy, w], axis=-1)       # (T, 3, 3) rows = vertices
 
     # Adjugate rows: adj[i] = cross(m[j], m[k]) for (i,j,k) cyclic.
@@ -100,7 +131,6 @@ def setup_triangles(clip: jax.Array, indices: jax.Array, width: int,
     sgn = jnp.where(det < 0, -1.0, 1.0)[:, None, None]
     adj = adj * sgn
 
-    any_w_pos = (w > 0).any(axis=1)
     valid = facing_ok & (det != 0) & any_w_pos
 
     # z_ndc plane: z/w is linear in screen space with coeffs z_vec @ adj / det
@@ -108,15 +138,46 @@ def setup_triangles(clip: jax.Array, indices: jax.Array, width: int,
     det_s = jnp.abs(det)
     zplane = jnp.einsum("tv,tvi->ti", z, adj) / det_s[:, None]
 
-    # Conservative integer pixel bbox.  Near-crossing tris: full screen.
+    # --- canonical per-edge coverage functions (watertight, see class doc).
     crosses = (w <= 0).any(axis=1)
-    w_safe = jnp.where(jnp.abs(w) < 1e-20, 1e-20, w)
-    px = sx / w_safe
-    py = sy / w_safe
-    x0 = jnp.clip(jnp.floor(px.min(axis=1) - 0.5), 0, width).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(py.min(axis=1) - 0.5), 0, height).astype(jnp.int32)
-    x1 = jnp.clip(jnp.ceil(px.max(axis=1) + 0.5), 0, width).astype(jnp.int32)
-    y1 = jnp.clip(jnp.ceil(py.max(axis=1) + 0.5), 0, height).astype(jnp.int32)
+    edge_rows = []
+    orient_ok = jnp.ones(indices.shape[0], bool)
+    for i in range(3):
+        j, k = (i + 1) % 3, (i + 2) % 3
+        swap = indices[:, j] > indices[:, k]
+        pxj = jnp.where(swap, proj_x[:, k], proj_x[:, j])
+        pyj = jnp.where(swap, proj_y[:, k], proj_y[:, j])
+        qxj = jnp.where(swap, proj_x[:, j], proj_x[:, k])
+        qyj = jnp.where(swap, proj_y[:, j], proj_y[:, k])
+        A = pyj - qyj                 # = -(q.y - p.y)
+        B = qxj - pxj
+        ev = A * (proj_x[:, i] - pxj) + B * (proj_y[:, i] - pyj)
+        orient = jnp.sign(ev)
+        orient_ok = orient_ok & (crosses | (ev != 0))
+        Ao = orient * A
+        Bo = orient * B
+        # near-crossing fallback: homogeneous adjugate row.
+        row = jnp.stack([
+            jnp.where(crosses, adj[:, i, 0], Ao),
+            jnp.where(crosses, adj[:, i, 1], Bo),
+            jnp.where(crosses, adj[:, i, 2], 0.0),
+            jnp.where(crosses, ox, pxj),
+            jnp.where(crosses, oy, pyj),
+        ], axis=-1)
+        edge_rows.append(row)
+    edge = jnp.stack(edge_rows, axis=1)          # (T, 3, 5)
+    valid = valid & orient_ok
+
+    # Conservative integer pixel bbox (absolute coords).
+    # Near-plane-crossing tris: full screen.
+    x0 = jnp.clip(jnp.floor(proj_x.min(axis=1) - 0.5), 0,
+                  width).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(proj_y.min(axis=1) - 0.5), 0,
+                  height).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil(proj_x.max(axis=1) + 0.5), 0,
+                  width).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil(proj_y.max(axis=1) + 0.5), 0,
+                  height).astype(jnp.int32)
     x0 = jnp.where(crosses, 0, x0)
     y0 = jnp.where(crosses, 0, y0)
     x1 = jnp.where(crosses, width, x1)
@@ -124,21 +185,37 @@ def setup_triangles(clip: jax.Array, indices: jax.Array, width: int,
     # Empty bbox for fully off-screen (unless near-crossing).
     valid = valid & (x1 > x0) & (y1 > y0)
     bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
-    return TriangleSetup(adj=adj, zplane=zplane, valid=valid, bbox=bbox)
+    return TriangleSetup(adj=adj, zplane=zplane,
+                         offset=jnp.stack([ox, oy], axis=-1),
+                         edge=edge, valid=valid, bbox=bbox)
 
 
-def _edge_inside(lam, adj):
+def _edge_inside(lam, a, b):
     """Coverage with the top-left rule.
 
-    lam: (..., 3) edge values; adj: (..., 3, 3) matching edge coefficients.
-    Top edge: horizontal with interior below (a == 0, b > 0 in y-down);
-    left edge: interior to the right (a > 0).  Those edges include ==0.
+    lam: (..., 3) oriented edge values; a/b: matching (..., 3) oriented
+    edge coefficients.  Top edge: horizontal with interior below
+    (a == 0, b > 0 in y-down); left edge: interior to the right (a > 0).
+    Those edges include == 0; others exclude it.
     """
-    a = adj[..., 0]
-    b = adj[..., 1]
     top_left = (a > 0) | ((a == 0) & (b > 0))
     ok = jnp.where(top_left, lam >= 0, lam > 0)
     return ok.all(axis=-1)
+
+
+def coverage(setup_edge, px, py):
+    """Evaluate oriented edge functions -> inside mask.
+
+    setup_edge: (..., 3, 5) rows (A, B, C, ex, ey); px/py broadcastable
+    pixel-center coords (...,).  Returns bool (...,).
+    """
+    A = setup_edge[..., 0]
+    B = setup_edge[..., 1]
+    C = setup_edge[..., 2]
+    ex = setup_edge[..., 3]
+    ey = setup_edge[..., 4]
+    lam = A * (px[..., None] - ex) + B * (py[..., None] - ey) + C
+    return _edge_inside(lam, A, B)
 
 
 def pixel_centers(width: int, height: int):
@@ -160,8 +237,9 @@ def rasterize(setup: TriangleSetup, width: int, height: int,
     """
     T = setup.adj.shape[0]
     pad = (-T) % chunk
-    adj = jnp.pad(setup.adj, ((0, pad), (0, 0), (0, 0)))
+    edg = jnp.pad(setup.edge, ((0, pad), (0, 0), (0, 0)))
     zpl = jnp.pad(setup.zplane, ((0, pad), (0, 0)))
+    off = jnp.pad(setup.offset, ((0, pad), (0, 0)))
     val = jnp.pad(setup.valid, (0, pad))
     n_chunks = (T + pad) // chunk
 
@@ -169,15 +247,20 @@ def rasterize(setup: TriangleSetup, width: int, height: int,
 
     def body(carry, inp):
         depth, tri = carry
-        c_adj, c_zpl, c_val, c_base = inp
-        # lam: (chunk, 3, H, W)
-        lam = (c_adj[:, :, 0, None, None] * px[None, None]
-               + c_adj[:, :, 1, None, None] * py[None, None]
-               + c_adj[:, :, 2, None, None])
+        c_edg, c_zpl, c_off, c_val, c_base = inp
+        rx = px[None] - c_off[:, 0, None, None]      # (chunk, H, W)
+        ry = py[None] - c_off[:, 1, None, None]
+        # coverage from oriented edge rows: (chunk, 3, H, W)
+        lam = (c_edg[:, :, 0, None, None]
+               * (px[None, None] - c_edg[:, :, 3, None, None])
+               + c_edg[:, :, 1, None, None]
+               * (py[None, None] - c_edg[:, :, 4, None, None])
+               + c_edg[:, :, 2, None, None])
         cover = _edge_inside(jnp.moveaxis(lam, 1, -1),
-                             c_adj[:, None, None, :, :])      # (chunk, H, W)
-        z = (c_zpl[:, 0, None, None] * px[None]
-             + c_zpl[:, 1, None, None] * py[None]
+                             c_edg[:, None, None, :, 0],
+                             c_edg[:, None, None, :, 1])      # (chunk, H, W)
+        z = (c_zpl[:, 0, None, None] * rx
+             + c_zpl[:, 1, None, None] * ry
              + c_zpl[:, 2, None, None])                        # (chunk, H, W)
         cover &= (z >= 0.0) & (z <= 1.0) & c_val[:, None, None]
         zc = jnp.where(cover, z, -1.0)
@@ -191,8 +274,9 @@ def rasterize(setup: TriangleSetup, width: int, height: int,
 
     depth0 = jnp.zeros((height, width), jnp.float32)
     tri0 = jnp.full((height, width), -1, jnp.int32)
-    chunks = (adj.reshape(n_chunks, chunk, 3, 3),
+    chunks = (edg.reshape(n_chunks, chunk, 3, 5),
               zpl.reshape(n_chunks, chunk, 3),
+              off.reshape(n_chunks, chunk, 2),
               val.reshape(n_chunks, chunk),
               jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
     (depth, tri), _ = jax.lax.scan(body, (depth0, tri0), chunks)
@@ -216,8 +300,10 @@ def barycentrics(setup: TriangleSetup, tri: jax.Array, px: jax.Array,
     """
     t = jnp.maximum(tri, 0)
     adj = setup.adj[t]                                   # (H, W, 3, 3)
-    lam = (adj[..., 0] * px[..., None] + adj[..., 1] * py[..., None]
-           + adj[..., 2])                                # (H, W, 3)
+    off = setup.offset[t]                                # (H, W, 2)
+    rx = (px - off[..., 0])[..., None]
+    ry = (py - off[..., 1])[..., None]
+    lam = adj[..., 0] * rx + adj[..., 1] * ry + adj[..., 2]   # (H, W, 3)
     s = lam.sum(-1)
     s = jnp.where(jnp.abs(s) < 1e-20, 1e-20, s)
     return lam / s[..., None], s
@@ -248,9 +334,11 @@ def interpolate_with_derivs(attrs: jax.Array, indices: jax.Array,
     """
     t = jnp.maximum(tri, 0)
     adj = setup.adj[t]                                   # (H, W, 3, 3)
+    off = setup.offset[t]
     vid = indices[t]
     av = attrs[vid]                                      # (H, W, 3, C)
-    lam = (adj[..., 0] * px[..., None] + adj[..., 1] * py[..., None]
+    lam = (adj[..., 0] * (px - off[..., 0])[..., None]
+           + adj[..., 1] * (py - off[..., 1])[..., None]
            + adj[..., 2])
     D = lam.sum(-1)
     Dx = adj[..., 0].sum(-1)

@@ -1,0 +1,134 @@
+"""Directional shadow mapping + PCF filters.
+
+Reference: assets/shaders/lights/pcf.h — the default path is a single
+hardware 2x2 bilinear-compare tap (textureProjLod with a shadow sampler);
+SHADOW_MAP_PCF_KERNEL_WIDE enables a 6x6 windowed kernel built from 3x3
+textureGathers with weights exp2(-0.375 x^2) * (1 - x^2/9).
+Both are reproduced here as vectorized gather+compare ops.
+
+Depth convention: shadow maps are rendered with the same reverse-Z
+projections as the main view (muglm ortho, reverse-Z); the shadow compare
+is GEQUAL — a receiver is LIT when its depth-from-light z_ref >= stored
+occluder depth (larger = closer to the light).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..math.muglm import ortho, look_at_matrix
+
+
+def directional_shadow_matrix(light_dir, scene_min, scene_max,
+                              up=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """Fit an ortho reverse-Z light frustum around the scene AABB.
+
+    light_dir points FROM surface TOWARD the light.  Returns the 4x4
+    light view-proj (world -> light clip).  (Analogue of the shadow-map
+    setup in renderer/lights/lights.cpp for a single cascade.)
+    """
+    light_dir = np.asarray(light_dir, np.float32)
+    light_dir = light_dir / np.linalg.norm(light_dir)
+    center = 0.5 * (np.asarray(scene_min) + np.asarray(scene_max))
+    radius = 0.5 * float(np.linalg.norm(
+        np.asarray(scene_max) - np.asarray(scene_min)))
+    if abs(np.dot(light_dir, np.asarray(up, np.float32))) > 0.99:
+        up = (0.0, 0.0, 1.0)
+    eye = center + light_dir * radius * 1.5
+    view = look_at_matrix(eye, center, up)
+    proj = ortho(-radius, radius, -radius, radius, 0.5 * radius, 2.5 * radius)
+    return (proj @ view).astype(np.float32)
+
+
+def shadow_uv_transform(light_vp: np.ndarray) -> np.ndarray:
+    """World -> shadow-map texture space (uv in [0,1], z = light depth).
+
+    Folds the NDC->UV remap into the matrix like the reference's
+    SHADOW_TRANSFORMS (lighting_resources.h:105): uv = xy*0.5+0.5."""
+    remap = np.array([[0.5, 0, 0, 0.5],
+                      [0, 0.5, 0, 0.5],
+                      [0, 0, 1.0, 0.0],
+                      [0, 0, 0, 1.0]], np.float32)
+    return (remap @ light_vp).astype(np.float32)
+
+
+def _compare(ref_z, stored, bias):
+    # GEQUAL on reverse-Z: lit if receiver depth >= occluder depth - bias.
+    return (ref_z >= stored - bias).astype(jnp.float32)
+
+
+def pcf_2x2(shadow_map, u, v, ref_z, bias: float = 1e-3):
+    """Hardware-style bilinear 2x2 percentage-closer compare
+    (the default SAMPLE_PCF_KERNEL path, pcf.h textureProjLod)."""
+    h, w = shadow_map.shape[:2]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    c00 = _compare(ref_z, shadow_map[y0i, x0i], bias)
+    c10 = _compare(ref_z, shadow_map[y0i, x1i], bias)
+    c01 = _compare(ref_z, shadow_map[y1i, x0i], bias)
+    c11 = _compare(ref_z, shadow_map[y1i, x1i], bias)
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    term = top * (1 - fy) + bot * fy
+    # Outside the light frustum -> fully lit (white border sampler).
+    inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (ref_z <= 1.0)
+    return jnp.where(inside, term, 1.0)
+
+
+def _pcf_kernel_weight(x):
+    """pcf.h shadow_map_pcf_kernel: exp2(-0.375 x^2) * (1 - x^2 / 9)."""
+    x2 = x * x
+    return jnp.exp2(-0.375 * x2) * (1.0 - x2 / 9.0)
+
+
+def pcf_wide(shadow_map, u, v, ref_z, bias: float = 1e-3):
+    """6x6 windowed PCF (SHADOW_MAP_PCF_KERNEL_WIDE, pcf.h:10-74).
+
+    Taps the 6x6 texel neighborhood around the sample point with the
+    reference's windowing weights; fully vectorized (36 gathers fused by
+    XLA into one loop nest).
+    """
+    h, w = shadow_map.shape[:2]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    acc = 0.0
+    total_w = 0.0
+    for dy in range(-2, 4):
+        wy = _pcf_kernel_weight(dy - fy)
+        yi = jnp.clip(y0i + dy, 0, h - 1)
+        for dx in range(-2, 4):
+            wx = _pcf_kernel_weight(dx - fx)
+            xi = jnp.clip(x0i + dx, 0, w - 1)
+            wgt = wx * wy
+            acc = acc + wgt * _compare(ref_z, shadow_map[yi, xi], bias)
+            total_w = total_w + wgt
+    term = acc / total_w
+    inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (ref_z <= 1.0)
+    return jnp.where(inside, term, 1.0)
+
+
+def sample_directional_shadow(shadow_map, shadow_uv_mat, world_pos,
+                              wide: bool = False, bias: float = 1e-3):
+    """get_directional_shadow_term (lighting_resources.h:120, single
+    cascade): project world position into the shadow map and PCF."""
+    m = shadow_uv_mat
+    uvw = (world_pos @ m[:3, :3].T) + m[:3, 3]
+    u, v, z = uvw[..., 0], uvw[..., 1], uvw[..., 2]
+    if wide:
+        return pcf_wide(shadow_map, u, v, z, bias)
+    return pcf_2x2(shadow_map, u, v, z, bias)

@@ -113,6 +113,79 @@ def sample_trilinear(mips: jax.Array, u, v, lod, wrap: int = WRAP_REPEAT):
     return a * (1 - frac) + b * frac
 
 
+# ---------------------------------------------------------------------------
+# Mip-strip layout: all levels of a square pow2 texture packed vertically in
+# a (2S, S) image — level l occupies rows [2S - (2S >> l), 2S - (2S >> l+1))
+# and columns [0, S >> l).  Exactly 2x base memory (vs L x for naive stacks).
+# Texture arrays are (N, 2S, S, 4) — the bindless-analogue storage.
+# ---------------------------------------------------------------------------
+
+def strip_row_offset(size: int, level):
+    return 2 * size - (jnp.int32(2 * size) >> level)
+
+
+def build_mip_strip(img: jax.Array) -> jax.Array:
+    """(S, S, C) -> (2S, S, C) strip with box-filtered mips."""
+    s = img.shape[0]
+    assert img.shape[1] == s and (s & (s - 1)) == 0, "square pow2 required"
+    L = num_mip_levels(s, s)
+    mips = build_mips(img, L)          # (L, S, S, C), level l in top-left
+    out = jnp.zeros((2 * s, s, img.shape[-1]), img.dtype)
+    off = 0
+    for l in range(L):
+        lh = max(s >> l, 1)
+        out = out.at[off:off + lh, :max(s >> l, 1)].set(
+            mips[l, :lh, :max(s >> l, 1)])
+        off += lh
+    return out
+
+
+def sample_array_level(strips: jax.Array, tex_id, u, v, level,
+                       wrap: int = WRAP_REPEAT):
+    """Bilinear sample from a (N, 2S, S, C) strip array at integer `level`.
+
+    tex_id/u/v/level broadcast together (per-pixel).  Returns (..., C).
+    """
+    S = strips.shape[2]
+    L = num_mip_levels(S, S)
+    level = jnp.clip(level, 0, L - 1)
+    ls = jnp.maximum(S >> level, 1)
+    row0 = 2 * S - (2 * S >> level)
+    x = u * ls - 0.5
+    y = v * ls - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x0w = _wrap_coord(x0i, ls, wrap)
+    x1w = _wrap_coord(x0i + 1, ls, wrap)
+    y0w = _wrap_coord(y0i, ls, wrap) + row0
+    y1w = _wrap_coord(y0i + 1, ls, wrap) + row0
+    t00 = strips[tex_id, y0w, x0w]
+    t10 = strips[tex_id, y0w, x1w]
+    t01 = strips[tex_id, y1w, x0w]
+    t11 = strips[tex_id, y1w, x1w]
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return (top * (1 - fy) + bot * fy).astype(jnp.float32)
+
+
+def sample_array_trilinear(strips: jax.Array, tex_id, u, v, lod,
+                           wrap: int = WRAP_REPEAT):
+    """Trilinear sample from a strip texture array (per-pixel tex_id/lod)."""
+    S = strips.shape[2]
+    L = num_mip_levels(S, S)
+    lod = jnp.clip(lod, 0.0, L - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - l0.astype(lod.dtype))[..., None]
+    a = sample_array_level(strips, tex_id, u, v, l0, wrap)
+    b = sample_array_level(strips, tex_id, u, v, jnp.minimum(l0 + 1, L - 1),
+                           wrap)
+    return a * (1 - frac) + b * frac
+
+
 def lod_from_derivs(dudx, dvdx, dudy, dvdy, width: int, height: int,
                     bias: float = 0.0):
     """Mip LOD from UV screen derivatives (the HW ddx/ddy rule):

@@ -1,0 +1,309 @@
+"""Device-side packed scene + shading paths.
+
+PackedScene is the analogue of the reference ResourceManager's global SoA
+mesh pools (vulkan/managers/resource_manager.hpp:40-76 MeshBufferAllocator):
+every mesh primitive is packed into ONE set of global vertex/index buffers,
+with per-triangle material and object ids.  Per frame the whole scene is:
+
+  1. vertex transform: world matrices gathered per vertex (node id),
+     positions/normals transformed in two big einsums (MXU work);
+  2. triangle setup + rasterize -> visibility buffer;
+  3. deferred attribute interpolation + texture sampling + PBR lighting.
+
+This replaces the reference's per-draw CommandBuffer path
+(renderer/renderer.cpp:908 flush -> per-draw vkCmdDrawIndexed): there are
+no draws, one fused dispatch shades everything.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assets.texture_array import (
+    FLAT_NORMAL_TEXTURE, TextureArrayBuilder, WHITE_TEXTURE,
+)
+from ..ops import raster as R
+from ..ops import texture as T
+from ..ops.pbr import compute_lighting
+from ..ops.shadow import sample_directional_shadow
+from ..scene.scene_formats import ALPHA_MODE_BLEND, ALPHA_MODE_MASK, SceneInfo
+from ..utils.logging import LOGI
+
+
+@dataclass
+class PackedScene:
+    # vertex SoA (static, object space)
+    positions: jax.Array        # (V, 3) f32
+    normals: jax.Array          # (V, 3)
+    uvs: jax.Array              # (V, 2)
+    tangents: jax.Array         # (V, 4)
+    v_node: jax.Array           # (V,) i32 node id per vertex
+    indices: jax.Array          # (Tri, 3) i32 global
+    tri_material: jax.Array     # (Tri,) i32
+    tri_object: jax.Array       # (Tri,) i32
+    # material table
+    mat_base_color: jax.Array   # (M, 4)
+    mat_mr: jax.Array           # (M, 2) metallic, roughness
+    mat_emissive: jax.Array     # (M, 3)
+    mat_tex: jax.Array          # (M, 4) i32: base, mr, normal, emissive
+    mat_alpha: jax.Array        # (M, 2) f32: mode, cutoff
+    mat_two_sided: jax.Array    # (M,) i32
+    textures: jax.Array         # (N, 2S, S, 4) f16 mip strips
+    # host-side object table (for culling)
+    obj_node: np.ndarray        # (O,) node per object
+    obj_aabb_min: np.ndarray    # (O, 3) object-space AABB
+    obj_aabb_max: np.ndarray
+    obj_flags: np.ndarray       # (O,) material-derived renderable flags
+    num_objects: int
+    num_nodes: int
+    scene_aabb_min: np.ndarray = None
+    scene_aabb_max: np.ndarray = None
+
+
+def pack_scene(info: SceneInfo, node_of_instance=None,
+               texture_size: int = 512) -> PackedScene:
+    """Flatten SceneInfo into global device buffers.
+
+    Each (node, mesh-primitive) pair becomes an object.  node_of_instance
+    optionally remaps SceneInfo node indices to runtime Scene node indices
+    (they match when the Scene was built 1:1 from the SceneInfo).
+    """
+    tb = TextureArrayBuilder(texture_size)
+    img_to_tex = {}
+    for i, img in enumerate(info.images):
+        img_to_tex[i] = tb.add_image(img, info.image_srgb[i])
+
+    def tex_of(img_idx, fallback):
+        return img_to_tex.get(img_idx, fallback) if img_idx is not None \
+            else fallback
+
+    M = max(len(info.materials), 1)
+    mat_base = np.ones((M, 4), np.float32)
+    mat_mr = np.ones((M, 2), np.float32) * np.array([[0.0, 1.0]], np.float32)
+    mat_emissive = np.zeros((M, 3), np.float32)
+    mat_tex = np.zeros((M, 4), np.int32)
+    mat_tex[:, 0] = WHITE_TEXTURE
+    mat_tex[:, 1] = WHITE_TEXTURE
+    mat_tex[:, 2] = FLAT_NORMAL_TEXTURE
+    mat_tex[:, 3] = WHITE_TEXTURE
+    mat_alpha = np.zeros((M, 2), np.float32)
+    mat_alpha[:, 1] = 0.5
+    mat_two_sided = np.zeros(M, np.int32)
+    for i, m in enumerate(info.materials):
+        mat_base[i] = m.base_color_factor
+        mat_mr[i] = [m.metallic_factor, m.roughness_factor]
+        mat_emissive[i] = m.emissive_factor
+        mat_tex[i] = [tex_of(m.base_color_image, WHITE_TEXTURE),
+                      tex_of(m.metallic_roughness_image, WHITE_TEXTURE),
+                      tex_of(m.normal_image, FLAT_NORMAL_TEXTURE),
+                      tex_of(m.emissive_image, WHITE_TEXTURE)]
+        mat_alpha[i] = [float(m.alpha_mode), m.alpha_cutoff]
+        mat_two_sided[i] = int(m.two_sided)
+
+    pos_l, nrm_l, uv_l, tan_l, vnode_l = [], [], [], [], []
+    idx_l, trimat_l, triobj_l = [], [], []
+    obj_node, obj_min, obj_max, obj_flags = [], [], [], []
+    v_off = 0
+    num_nodes = len(info.nodes)
+
+    from ..scene.scene import (
+        RENDERABLE_CASTS_SHADOW, RENDERABLE_OPAQUE, RENDERABLE_TRANSPARENT,
+    )
+
+    for node_idx, nd in enumerate(info.nodes):
+        rt_node = node_of_instance[node_idx] if node_of_instance else node_idx
+        for mesh_idx in nd.meshes:
+            md = info.meshes[mesh_idx]
+            v = len(md.positions)
+            t = len(md.indices)
+            pos_l.append(md.positions)
+            nrm_l.append(md.normals)
+            uv_l.append(md.uvs)
+            tan_l.append(md.tangents)
+            vnode_l.append(np.full(v, rt_node, np.int32))
+            idx_l.append(md.indices + v_off)
+            mat = max(md.material, 0)
+            trimat_l.append(np.full(t, mat, np.int32))
+            obj_id = len(obj_node)
+            triobj_l.append(np.full(t, obj_id, np.int32))
+            obj_node.append(rt_node)
+            obj_min.append(md.aabb_min)
+            obj_max.append(md.aabb_max)
+            mode = info.materials[mat].alpha_mode if info.materials else 0
+            flags = RENDERABLE_CASTS_SHADOW | (
+                RENDERABLE_TRANSPARENT if mode == ALPHA_MODE_BLEND
+                else RENDERABLE_OPAQUE)
+            obj_flags.append(flags)
+            v_off += v
+
+    if not pos_l:
+        raise ValueError("scene has no mesh instances")
+
+    positions = np.concatenate(pos_l)
+    textures = tb.build()
+
+    ps = PackedScene(
+        positions=jnp.asarray(positions),
+        normals=jnp.asarray(np.concatenate(nrm_l)),
+        uvs=jnp.asarray(np.concatenate(uv_l)),
+        tangents=jnp.asarray(np.concatenate(tan_l)),
+        v_node=jnp.asarray(np.concatenate(vnode_l)),
+        indices=jnp.asarray(np.concatenate(idx_l)),
+        tri_material=jnp.asarray(np.concatenate(trimat_l)),
+        tri_object=jnp.asarray(np.concatenate(triobj_l)),
+        mat_base_color=jnp.asarray(mat_base),
+        mat_mr=jnp.asarray(mat_mr),
+        mat_emissive=jnp.asarray(mat_emissive),
+        mat_tex=jnp.asarray(mat_tex),
+        mat_alpha=jnp.asarray(mat_alpha),
+        mat_two_sided=jnp.asarray(mat_two_sided),
+        textures=textures.data,
+        obj_node=np.asarray(obj_node, np.int32),
+        obj_aabb_min=np.asarray(obj_min, np.float32),
+        obj_aabb_max=np.asarray(obj_max, np.float32),
+        obj_flags=np.asarray(obj_flags, np.int32),
+        num_objects=len(obj_node),
+        num_nodes=num_nodes,
+    )
+    LOGI("PackedScene: %d verts, %d tris, %d objects, %d materials, "
+         "%d textures", len(positions), len(ps.indices), ps.num_objects,
+         M, len(tb._images))
+    return ps
+
+
+# ---------------------------------------------------------------------------
+# Device-side frame stages (called from graph pass execute fns).
+# ---------------------------------------------------------------------------
+
+def transform_vertices(scene: PackedScene, world, normal_mats, view_proj):
+    """Per-vertex node-matrix gather + transform.
+
+    world: (N, 4, 4); normal_mats: (N, 3, 3); view_proj: (4, 4).
+    Returns (clip (V,4), world_pos (V,3), world_normal (V,3),
+             world_tangent (V,4)).
+    This replaces static_mesh.vert's per-draw uniforms: ALL meshes transform
+    in one batched gather+einsum (the MXU-shaped hot path).
+    """
+    wm = world[scene.v_node]                          # (V, 4, 4)
+    p = scene.positions
+    world_pos = jnp.einsum("vij,vj->vi", wm[:, :3, :3], p) + wm[:, :3, 3]
+    clip = world_pos @ view_proj[:3, :3].T + view_proj[:3, 3]
+    clip_w = world_pos @ view_proj[3, :3].T + view_proj[3, 3]
+    clip = jnp.concatenate([clip, clip_w[:, None]], axis=1)
+    nm = normal_mats[scene.v_node]
+    world_normal = jnp.einsum("vij,vj->vi", nm, scene.normals)
+    world_tan = jnp.einsum("vij,vj->vi", wm[:, :3, :3],
+                           scene.tangents[:, :3])
+    world_tangent = jnp.concatenate([world_tan, scene.tangents[:, 3:4]],
+                                    axis=1)
+    return clip, world_pos, world_normal, world_tangent
+
+
+def rasterize_scene(scene: PackedScene, clip, object_mask, width: int,
+                    height: int, cull_mode: int = R.CULL_BACK):
+    """Setup + per-object visibility + rasterize -> visibility buffer."""
+    setup = R.setup_triangles(clip, scene.indices, width, height,
+                              cull_mode=cull_mode)
+    tri_visible = object_mask[scene.tri_object]
+    setup = setup._replace(valid=setup.valid & tri_visible)
+    depth, tri = R.rasterize(setup, width, height)
+    return setup, depth, tri
+
+
+def forward_shade(scene: PackedScene, setup, depth, tri, world_pos,
+                  world_normal, world_tangent, params, shadow_map=None,
+                  shadow_uv_mat=None, width: int = 0, height: int = 0,
+                  background=None, pcf_wide: bool = False):
+    """Visibility-buffer forward shading: gathers + PBR + shadow.
+
+    The analogue of static_mesh.frag with SHADOWS defined
+    (forward rendering path, renderer type 'forward').
+    """
+    px, py = R.pixel_centers(width, height)
+    covered = tri >= 0
+    bary, _ = R.barycentrics(setup, tri, px, py)
+
+    pos = R.interpolate(world_pos, scene.indices, tri, bary)
+    nrm = R.interpolate(world_normal, scene.indices, tri, bary)
+    tan = R.interpolate(world_tangent, scene.indices, tri, bary)
+    uv, duvdx, duvdy = R.interpolate_with_derivs(
+        scene.uvs, scene.indices, tri, setup, px, py)
+
+    # Per-pixel material fetch.
+    t = jnp.maximum(tri, 0)
+    mat = scene.tri_material[t]
+    base_factor = scene.mat_base_color[mat]
+    mr_factor = scene.mat_mr[mat]
+    emissive = scene.mat_emissive[mat]
+    tex_ids = scene.mat_tex[mat]                      # (H, W, 4)
+
+    S = scene.textures.shape[2]
+    lod = T.lod_from_derivs(duvdx[..., 0], duvdx[..., 1],
+                            duvdy[..., 0], duvdy[..., 1], S, S)
+    u, v = uv[..., 0], uv[..., 1]
+    base_tex = T.sample_array_trilinear(scene.textures, tex_ids[..., 0],
+                                        u, v, lod)
+    mr_tex = T.sample_array_trilinear(scene.textures, tex_ids[..., 1],
+                                      u, v, lod)
+    nrm_tex = T.sample_array_trilinear(scene.textures, tex_ids[..., 2],
+                                       u, v, lod)
+
+    base_color = base_factor[..., :3] * base_tex[..., :3]
+    metallic = mr_factor[..., 0] * mr_tex[..., 2]     # glTF: B=metal
+    roughness = mr_factor[..., 1] * mr_tex[..., 1]    # G=rough
+
+    # Normal mapping (static_mesh.frag tangent-frame path).
+    n = _normalize(nrm)
+    t3 = _normalize(tan[..., :3])
+    b = jnp.cross(n, t3) * tan[..., 3:4]
+    tn = nrm_tex[..., :3] * 2.0 - 1.0
+    n_mapped = _normalize(tn[..., 0:1] * t3 + tn[..., 1:2] * b
+                          + tn[..., 2:3] * n)
+
+    shadow_term = 1.0
+    if shadow_map is not None:
+        shadow_term = sample_directional_shadow(
+            shadow_map, shadow_uv_mat, pos, wide=pcf_wide)
+
+    color = compute_lighting(
+        base_color, n_mapped, metallic, roughness,
+        ambient_factor=jnp.ones_like(metallic),
+        world_pos=pos, camera_pos=params["camera_pos"],
+        light_dir=params["sun_dir"], light_color=params["sun_color"],
+        shadow_term=shadow_term)
+    color = color + emissive
+
+    if background is None:
+        background = jnp.zeros(3, jnp.float32)
+    color = jnp.where(covered[..., None], color, background)
+    return color
+
+
+def _normalize(v, eps=1e-20):
+    return v / jnp.sqrt(jnp.maximum((v * v).sum(-1), eps))[..., None]
+
+
+def render_shadow_map(scene: PackedScene, world, light_vp, size: int,
+                      object_mask):
+    """Depth-only raster from the light's view (the shadow-map pass;
+    assets/shaders/static_mesh_depth.vert analogue).  Front faces kept —
+    the reference renders shadow maps without cull flip, relying on depth
+    bias in the compare."""
+    wm = world[scene.v_node]
+    p = scene.positions
+    world_pos = jnp.einsum("vij,vj->vi", wm[:, :3, :3], p) + wm[:, :3, 3]
+    lv = jnp.asarray(light_vp)
+    clip = world_pos @ lv[:3, :3].T + lv[:3, 3]
+    clip_w = world_pos @ lv[3, :3].T + lv[3, 3]
+    clip = jnp.concatenate([clip, clip_w[:, None]], axis=1)
+    setup = R.setup_triangles(clip, scene.indices, size, size,
+                              cull_mode=R.CULL_NONE)
+    tri_visible = object_mask[scene.tri_object]
+    setup = setup._replace(valid=setup.valid & tri_visible)
+    depth, _tri = R.rasterize(setup, size, size)
+    return depth

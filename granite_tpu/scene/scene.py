@@ -1,0 +1,181 @@
+"""Scene — SoA node hierarchy + visibility (reference: renderer/scene.hpp:113,
+node.{hpp,cpp}, threaded_scene.cpp).
+
+The reference walks a pointer-based Node tree (update_transform_tree,
+scene.hpp:127) and runs SIMD frustum culls per gather query (scene.cpp:95,
+12 gather_visible_* variants, scene.hpp:133-163).  TPU-native redesign:
+
+  * nodes are SoA arrays (parent, TRS, depth); world transforms are updated
+    level-by-level with BATCHED matmuls — one np.matmul per tree depth
+    instead of a recursive walk (depths are tiny: Sponza < 8 levels);
+  * renderables are SoA too (node idx, mesh idx, flags, local AABB);
+    every gather query is ONE vectorized frustum cull over all AABBs.
+
+Host-side numpy: the scene update feeds the device each frame with small
+arrays (world matrices, visibility masks); heavy per-vertex work happens
+on device in the render pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..math.aabb import transform_aabbs
+from ..math.frustum import frustum_cull
+from ..math.transforms import compose_trs_batch
+
+RENDERABLE_OPAQUE = 1 << 0
+RENDERABLE_TRANSPARENT = 1 << 1
+RENDERABLE_CASTS_SHADOW = 1 << 2
+RENDERABLE_DYNAMIC = 1 << 3
+
+
+@dataclass
+class RenderableHandle:
+    index: int
+
+
+class Scene:
+    def __init__(self, capacity_nodes: int = 0):
+        self.parent = np.full(capacity_nodes, -1, np.int32)
+        self.translation = np.zeros((capacity_nodes, 3), np.float32)
+        self.rotation = np.tile(np.array([1, 0, 0, 0], np.float32),
+                                (capacity_nodes, 1))
+        self.scale = np.ones((capacity_nodes, 3), np.float32)
+        self.world = np.tile(np.eye(4, dtype=np.float32),
+                             (capacity_nodes, 1, 1))
+        self._n_nodes = capacity_nodes
+        self._levels_dirty = True
+        self._levels: list[np.ndarray] = []
+        # renderables SoA
+        self.r_node = np.zeros(0, np.int32)
+        self.r_mesh = np.zeros(0, np.int32)
+        self.r_flags = np.zeros(0, np.int32)
+        self.r_aabb_min = np.zeros((0, 3), np.float32)
+        self.r_aabb_max = np.zeros((0, 3), np.float32)
+        self.r_world_min = np.zeros((0, 3), np.float32)
+        self.r_world_max = np.zeros((0, 3), np.float32)
+
+    # -- node management --------------------------------------------------------
+    def create_node(self, parent: int = -1, translation=None, rotation=None,
+                    scale=None) -> int:
+        idx = self._n_nodes
+        self._n_nodes += 1
+        self.parent = np.append(self.parent, np.int32(parent))
+        self.translation = np.vstack([
+            self.translation,
+            np.asarray(translation if translation is not None else [0, 0, 0],
+                       np.float32)[None]])
+        self.rotation = np.vstack([
+            self.rotation,
+            np.asarray(rotation if rotation is not None else [1, 0, 0, 0],
+                       np.float32)[None]])
+        self.scale = np.vstack([
+            self.scale,
+            np.asarray(scale if scale is not None else [1, 1, 1],
+                       np.float32)[None]])
+        self.world = np.concatenate([self.world,
+                                     np.eye(4, dtype=np.float32)[None]])
+        self._levels_dirty = True
+        return idx
+
+    def set_parent(self, node: int, parent: int) -> None:
+        self.parent[node] = parent
+        self._levels_dirty = True
+
+    def _rebuild_levels(self) -> None:
+        """Group nodes by tree depth for level-ordered batched updates."""
+        n = self._n_nodes
+        depth = np.zeros(n, np.int32)
+        # parents always precede children in glTF?  Not guaranteed; iterate.
+        parent = self.parent[:n]
+        for _ in range(64):
+            new_depth = np.where(parent >= 0, depth[np.maximum(parent, 0)] + 1,
+                                 0)
+            if np.array_equal(new_depth, depth):
+                break
+            depth = new_depth
+        self._levels = [np.nonzero(depth == d)[0].astype(np.int32)
+                        for d in range(int(depth.max()) + 1 if n else 0)]
+        self._levels_dirty = False
+
+    def update_transform_tree(self) -> None:
+        """Level-ordered batched world-matrix update (scene.hpp:127-130)."""
+        n = self._n_nodes
+        if n == 0:
+            return
+        if self._levels_dirty:
+            self._rebuild_levels()
+        local = compose_trs_batch(self.translation[:n], self.rotation[:n],
+                                  self.scale[:n])
+        world = self.world
+        for level in self._levels:
+            p = self.parent[level]
+            has_parent = p >= 0
+            lw = local[level]
+            if has_parent.any():
+                pw = world[np.maximum(p, 0)]
+                combined = np.matmul(pw, lw)
+                world[level] = np.where(has_parent[:, None, None], combined,
+                                        lw)
+            else:
+                world[level] = lw
+        self.update_cached_transforms()
+
+    def update_cached_transforms(self) -> None:
+        """World-space renderable AABBs (Threaded::update_cached_transforms
+        analogue — one vectorized pass, no task fan-out needed)."""
+        if len(self.r_node) == 0:
+            return
+        w = self.world[self.r_node]
+        self.r_world_min, self.r_world_max = transform_aabbs(
+            w, self.r_aabb_min, self.r_aabb_max)
+
+    # -- renderables --------------------------------------------------------------
+    def add_renderable(self, node: int, mesh: int, flags: int,
+                       aabb_min, aabb_max) -> RenderableHandle:
+        self.r_node = np.append(self.r_node, np.int32(node))
+        self.r_mesh = np.append(self.r_mesh, np.int32(mesh))
+        self.r_flags = np.append(self.r_flags, np.int32(flags))
+        self.r_aabb_min = np.vstack([self.r_aabb_min,
+                                     np.asarray(aabb_min, np.float32)[None]])
+        self.r_aabb_max = np.vstack([self.r_aabb_max,
+                                     np.asarray(aabb_max, np.float32)[None]])
+        self.r_world_min = np.vstack([self.r_world_min,
+                                      np.zeros((1, 3), np.float32)])
+        self.r_world_max = np.vstack([self.r_world_max,
+                                      np.zeros((1, 3), np.float32)])
+        return RenderableHandle(len(self.r_node) - 1)
+
+    # -- visibility queries (scene.hpp:133-163 gather_visible_*) -----------------
+    def _gather(self, planes, flag_mask: int) -> np.ndarray:
+        if len(self.r_node) == 0:
+            return np.zeros(0, np.int32)
+        sel = (self.r_flags & flag_mask) != 0
+        if planes is None:
+            return np.nonzero(sel)[0].astype(np.int32)
+        vis = frustum_cull(planes, self.r_world_min, self.r_world_max)
+        return np.nonzero(sel & vis)[0].astype(np.int32)
+
+    def gather_visible_opaque_renderables(self, frustum) -> np.ndarray:
+        return self._gather(frustum.planes, RENDERABLE_OPAQUE)
+
+    def gather_visible_transparent_renderables(self, frustum) -> np.ndarray:
+        return self._gather(frustum.planes, RENDERABLE_TRANSPARENT)
+
+    def gather_visible_static_shadow_renderables(self, frustum) -> np.ndarray:
+        mask = self._gather(frustum.planes, RENDERABLE_CASTS_SHADOW)
+        return mask[(self.r_flags[mask] & RENDERABLE_DYNAMIC) == 0]
+
+    def gather_visible_dynamic_shadow_renderables(self, frustum) -> np.ndarray:
+        mask = self._gather(frustum.planes, RENDERABLE_CASTS_SHADOW)
+        return mask[(self.r_flags[mask] & RENDERABLE_DYNAMIC) != 0]
+
+    def gather_unbounded_renderables(self) -> np.ndarray:
+        return self._gather(None, RENDERABLE_OPAQUE | RENDERABLE_TRANSPARENT)
+
+    @property
+    def num_nodes(self) -> int:
+        return self._n_nodes

@@ -1,0 +1,149 @@
+"""Shading kernel tests: BRDF numeric gates (the FFT-SNR-test analogue for
+lighting math), shadow PCF behavior, texture-array sampling."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from granite_tpu.ops.pbr import (
+    PI, compute_f0, compute_lighting, d_ggx, fresnel, g_schlick,
+)
+from granite_tpu.ops.shadow import (
+    directional_shadow_matrix, pcf_2x2, pcf_wide, sample_directional_shadow,
+    shadow_uv_transform,
+)
+from granite_tpu.ops.srgb import linear_to_srgb, srgb_to_linear
+from granite_tpu.ops.texture import (
+    WRAP_CLAMP, WRAP_REPEAT, build_mip_strip, sample_array_level,
+    sample_array_trilinear, num_mip_levels,
+)
+
+
+def test_srgb_roundtrip():
+    x = jnp.linspace(0, 1, 256)
+    y = srgb_to_linear(linear_to_srgb(x))
+    assert np.allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+    # Known values of the IEC curve.
+    assert abs(float(linear_to_srgb(jnp.float32(0.5))) - 0.735357) < 1e-4
+    assert abs(float(srgb_to_linear(jnp.float32(0.5))) - 0.214041) < 1e-4
+
+
+def test_brdf_reference_values():
+    # Hand-computed from the reference formulas (pbr.h).
+    r = 0.5
+    noh = 0.9
+    m2 = (r * r) ** 2
+    d_expect = m2 / (PI * ((noh * m2 - noh) * noh + 1.0) ** 2)
+    assert abs(float(d_ggx(r, jnp.float32(noh))) - d_expect) < 1e-6
+    k = (r + 1.0) ** 2 / 8.0
+    g_expect = 0.25 / ((0.8 * (1 - k) + k) * (0.7 * (1 - k) + k))
+    assert abs(float(g_schlick(r, jnp.float32(0.8), jnp.float32(0.7)))
+               - g_expect) < 1e-6
+    f0 = compute_f0(jnp.array([[1.0, 0.0, 0.0]]), jnp.array([0.5]))
+    assert np.allclose(np.asarray(f0), [[0.52, 0.02, 0.02]], atol=1e-6)
+    f = fresnel(jnp.array([[0.04, 0.04, 0.04]]), jnp.array([1.0]))
+    assert np.allclose(np.asarray(f), 0.04, atol=1e-6)
+    f_grazing = fresnel(jnp.array([[0.04, 0.04, 0.04]]), jnp.array([0.0]))
+    assert np.allclose(np.asarray(f_grazing), 1.0, atol=1e-6)
+
+
+def test_compute_lighting_energy():
+    # Head-on white light on a diffuse white surface.
+    base = jnp.ones((1, 1, 3))
+    n = jnp.array([[[0.0, 0.0, 1.0]]])
+    pos = jnp.zeros((1, 1, 3))
+    out = compute_lighting(
+        base, n, jnp.zeros((1, 1)), jnp.ones((1, 1)) * 0.5,
+        jnp.ones((1, 1)), pos, jnp.array([0.0, 0.0, 5.0]),
+        jnp.array([0.0, 0.0, 1.0]), jnp.array([1.0, 1.0, 1.0]))
+    v = np.asarray(out)[0, 0]
+    assert np.all(v > 0.0) and np.all(v < 2.0)
+    # In shadow only ambient remains: 0.05 * base.
+    out_sh = compute_lighting(
+        base, n, jnp.zeros((1, 1)), jnp.ones((1, 1)) * 0.5,
+        jnp.ones((1, 1)), pos, jnp.array([0.0, 0.0, 5.0]),
+        jnp.array([0.0, 0.0, 1.0]), jnp.array([1.0, 1.0, 1.0]),
+        shadow_term=jnp.zeros((1, 1)))
+    assert np.allclose(np.asarray(out_sh)[0, 0], 0.05, atol=1e-3)
+
+
+def test_shadow_map_blocks_light():
+    # Occluder quad above a ground point: the point must be shadowed.
+    light_dir = np.array([0.0, 1.0, 0.0], np.float32)   # light overhead
+    mn = np.array([-2, -1, -2], np.float32)
+    mx = np.array([2, 2, 2], np.float32)
+    light_vp = directional_shadow_matrix(light_dir, mn, mx)
+    uv_mat = shadow_uv_transform(light_vp)
+    # Render a fake shadow map: occluder at y=1 covering x,z in [-1,1]/2.
+    size = 64
+    sm = np.zeros((size, size), np.float32)
+    # depth of occluder at y=1 from the light:
+    occ = (uv_mat @ np.array([0, 1, 0, 1], np.float32))
+    uv_occ = occ[:2]
+    z_occ = occ[2]
+    ys, xs = np.mgrid[0:size, 0:size]
+    u = (xs + 0.5) / size
+    v = (ys + 0.5) / size
+    # world xz of each shadow texel (ortho, axis-aligned here)
+    inside = (np.abs(u - uv_occ[0]) < 0.2) & (np.abs(v - uv_occ[1]) < 0.2)
+    sm[inside] = z_occ
+    sm = jnp.asarray(sm)
+
+    ground = jnp.array([[[0.0, 0.0, 0.0]]])     # under the occluder
+    open_pt = jnp.array([[[1.9, 0.0, 1.9]]])    # away from it
+    t_blocked = float(np.asarray(sample_directional_shadow(
+        sm, jnp.asarray(uv_mat), ground))[0, 0])
+    t_open = float(np.asarray(sample_directional_shadow(
+        sm, jnp.asarray(uv_mat), open_pt))[0, 0])
+    assert t_blocked < 0.05
+    assert t_open > 0.95
+    # wide kernel agrees in the interior
+    t_blocked_w = float(np.asarray(sample_directional_shadow(
+        sm, jnp.asarray(uv_mat), ground, wide=True))[0, 0])
+    assert t_blocked_w < 0.1
+
+
+def test_pcf_outside_frustum_is_lit():
+    sm = jnp.zeros((8, 8), jnp.float32)
+    t = pcf_2x2(sm, jnp.float32(-0.5), jnp.float32(0.5), jnp.float32(0.5))
+    assert float(t) == 1.0
+    t = pcf_wide(sm, jnp.float32(1.5), jnp.float32(0.5), jnp.float32(0.5))
+    assert float(t) == 1.0
+
+
+def test_mip_strip_sampling():
+    s = 8
+    img = jnp.asarray(np.arange(s * s, dtype=np.float32).reshape(s, s, 1))
+    strip = build_mip_strip(img)
+    assert strip.shape == (2 * s, s, 1)
+    strips = strip[None]  # array of 1 texture
+    # Level 0 texel centers reproduce exact values.
+    u = jnp.float32((3 + 0.5) / s)
+    v = jnp.float32((2 + 0.5) / s)
+    val = sample_array_level(strips, jnp.int32(0), u, v, jnp.int32(0))
+    assert abs(float(val[0]) - (2 * s + 3)) < 1e-4
+    # Coarsest level equals the global mean.
+    L = num_mip_levels(s, s)
+    val = sample_array_level(strips, jnp.int32(0), jnp.float32(0.5),
+                             jnp.float32(0.5), jnp.int32(L - 1))
+    assert abs(float(val[0]) - (s * s - 1) / 2) < 0.51
+    # Trilinear midway between levels is between the two bilinear values.
+    a = sample_array_level(strips, jnp.int32(0), u, v, jnp.int32(0))
+    b = sample_array_level(strips, jnp.int32(0), u, v, jnp.int32(1))
+    mid = sample_array_trilinear(strips, jnp.int32(0), u, v,
+                                 jnp.float32(0.5))
+    lo, hi = sorted([float(a[0]), float(b[0])])
+    assert lo - 1e-4 <= float(mid[0]) <= hi + 1e-4
+
+
+def test_wrap_modes():
+    s = 4
+    img = jnp.asarray(np.arange(s * s, dtype=np.float32).reshape(s, s, 1))
+    strips = build_mip_strip(img)[None]
+    # u slightly negative: REPEAT wraps to the right edge, CLAMP stays left.
+    u = jnp.float32(-0.01)
+    v = jnp.float32(0.5 / s)
+    rep = sample_array_level(strips, jnp.int32(0), u, v, jnp.int32(0),
+                             wrap=WRAP_REPEAT)
+    cla = sample_array_level(strips, jnp.int32(0), u, v, jnp.int32(0),
+                             wrap=WRAP_CLAMP)
+    assert float(rep[0]) > float(cla[0])
