@@ -22,12 +22,15 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-from ..graph import AttachmentInfo, Queue, RenderGraph, SizeClass
+from ..graph import AttachmentInfo, BufferInfo, Queue, RenderGraph, SizeClass
+from ..ops import hdr as HDR
+from ..ops.clusterer import bin_lights_tiles, bin_lights_z, pack_lights
 from ..ops.srgb import encode_rgba8
 from ..renderer.render_context import RenderContext
 from ..renderer.scene_renderer import (
     PackedScene, forward_shade, pack_scene, rasterize_scene,
-    render_shadow_map, transform_vertices,
+    render_shadow_map, shade_surface, surface_attributes,
+    transform_vertices,
 )
 from ..ops.shadow import directional_shadow_matrix, shadow_uv_transform
 from ..math.frustum import Frustum
@@ -123,6 +126,34 @@ def build_default_test_scene() -> SceneInfo:
             scale=np.full(3, 0.7 + 0.3 * rng.rand(), np.float32),
             meshes=[1 + kind])
         nodes.append(nd)
+    # A ring of colored point lights (KHR_lights_punctual) for the
+    # clustered path, plus one spot light.
+    from ..scene.scene_formats import LightData, LIGHT_POINT, LIGHT_SPOT
+    colors = [(4.0, 0.5, 0.5), (0.5, 4.0, 0.5), (0.5, 0.5, 4.0),
+              (3.0, 3.0, 0.5)]
+    for i, c in enumerate(colors):
+        a = 2 * np.pi * (i + 0.5) / 4
+        info.lights.append(LightData(type=LIGHT_POINT,
+                                     color=np.asarray(c, np.float32),
+                                     intensity=4.0, range=8.0))
+        nodes.append(NodeData(
+            name=f"light{i}",
+            translation=np.array([3.2 * np.cos(a), 2.0, 3.2 * np.sin(a)],
+                                 np.float32),
+            light=len(info.lights) - 1))
+    info.lights.append(LightData(type=LIGHT_SPOT,
+                                 color=np.array([1, 1, 1], np.float32),
+                                 intensity=60.0, range=16.0,
+                                 inner_cone=0.3, outer_cone=0.55))
+    from ..math.muglm import look_at_quat
+    spot_node = NodeData(name="spot",
+                         translation=np.array([0, 6.0, 0], np.float32),
+                         light=len(info.lights) - 1)
+    # node orientation: local -Z must point down -> conjugate of the
+    # world->view look_at quaternion.
+    q = look_at_quat([0.01, -1.0, 0.01], [0, 0, -1])
+    spot_node.rotation = np.array([q[0], -q[1], -q[2], -q[3]], np.float32)
+    nodes.append(spot_node)
     root.children = list(range(1, len(nodes)))
     info.nodes = nodes
     info.roots = [0]
@@ -221,17 +252,32 @@ class SceneViewerApplication(Application):
         return cam
 
     # -- graph -----------------------------------------------------------------
+    CLUSTER_Z_SLICES = 32
+    CLUSTER_TILE = 64
+    LIGHT_CAPACITY = 32
+
     def swapchain_updated(self, width: int, height: int) -> None:
         super().swapchain_updated(width, height)
         self.camera.set_aspect(width / height)
         rw = max(int(width * self.config.resolution_scale), 1)
         rh = max(int(height * self.config.resolution_scale), 1)
         self._rw, self._rh = rw, rh
+        self._has_lights = any(
+            nd.light is not None and self.info.lights[nd.light].type != 0
+            for nd in self.info.nodes)
+        zn = max(self.camera.znear, 1e-3)
+        zf = self.camera.zfar if self.camera.zfar > 0 else 1000.0
+        self._cluster_range = (zn, zf)
         g = self.graph
         g.reset()
         g.set_backbuffer_dimensions(width, height)
         shadow_res = int(self.config.shadow_map_resolution)
         use_shadow = self.config.directional_light_shadows
+        rs = self.config.resolution_scale
+
+        def rel(scale, channels, dtype=jnp.float32):
+            return AttachmentInfo(SizeClass.SWAPCHAIN_RELATIVE, rs * scale,
+                                  rs * scale, channels=channels, dtype=dtype)
 
         if use_shadow:
             g.add_pass("shadow-main", Queue.GRAPHICS) \
@@ -242,26 +288,94 @@ class SceneViewerApplication(Application):
                                    shadow_res, channels=1)) \
                 .set_execute(self._shadow_pass)
 
-        forward = g.add_pass("forward", Queue.GRAPHICS) \
-            .add_external_input("world") \
-            .add_external_input("normal_mats") \
-            .add_color_output("hdr", AttachmentInfo(
-                SizeClass.SWAPCHAIN_RELATIVE,
-                self.config.resolution_scale,
-                self.config.resolution_scale, channels=3))
-        if use_shadow:
-            forward.add_texture_input("shadow-depth")
-        forward.set_execute(self._forward_pass)
+        if self.config.renderer == "deferred":
+            # G-buffer pass (scene_viewer_application.cpp:876 deferred
+            # geometry) then a lighting resolve (directional.frag +
+            # clusterer).
+            gb = g.add_pass("gbuffer", Queue.GRAPHICS) \
+                .add_external_input("world") \
+                .add_external_input("normal_mats") \
+                .add_color_output("g-base", rel(1, 3)) \
+                .add_color_output("g-normal", rel(1, 3)) \
+                .add_color_output("g-pbr", rel(1, 2)) \
+                .add_color_output("g-emissive", rel(1, 3)) \
+                .add_color_output("g-pos", rel(1, 3)) \
+                .add_depth_stencil_output("depth-main", rel(1, 1)) \
+                .add_color_output("g-covered", rel(1, 1, jnp.bool_))
+            gb.set_execute(self._gbuffer_pass)
+            light = g.add_pass("lighting", Queue.GRAPHICS) \
+                .add_attachment_input("g-base") \
+                .add_attachment_input("g-normal") \
+                .add_attachment_input("g-pbr") \
+                .add_attachment_input("g-emissive") \
+                .add_attachment_input("g-pos") \
+                .add_attachment_input("g-covered") \
+                .add_color_output("hdr", rel(1, 3))
+            if use_shadow:
+                light.add_texture_input("shadow-depth")
+            light.set_execute(self._lighting_pass)
+        else:
+            forward = g.add_pass("forward", Queue.GRAPHICS) \
+                .add_external_input("world") \
+                .add_external_input("normal_mats") \
+                .add_color_output("hdr", rel(1, 3))
+            if use_shadow:
+                forward.add_texture_input("shadow-depth")
+            forward.set_execute(self._forward_pass)
 
-        g.add_pass("tonemap", Queue.GRAPHICS) \
+        final_hdr = "hdr"
+        if self.config.hdr_bloom:
+            final_hdr = self._add_hdr_chain(g, rel)
+
+        tm = g.add_pass("tonemap", Queue.GRAPHICS) \
             .add_texture_input("hdr") \
             .add_color_output("backbuffer",
-                              AttachmentInfo(channels=4, dtype=jnp.uint8)) \
-            .set_execute(self._blit_pass)
+                              AttachmentInfo(channels=4, dtype=jnp.uint8))
+        if self.config.hdr_bloom:
+            tm.add_texture_input("bloom-final")
+            tm.add_texture_input("luminance")
+        tm.set_execute(self._tonemap_pass)
         g.set_backbuffer_source("backbuffer")
         g.bake()
         g.log()
         self._history = g.initial_history()
+
+    def _add_hdr_chain(self, g, rel) -> str:
+        """setup_hdr_postprocess (renderer/post/hdr.cpp:308): threshold at
+        1/2 res -> 4 downsamples (first with temporal feedback) -> 2
+        upsamples; async average-luminance reduction with temporal lerp.
+        The luminance pass is its own ASYNC_COMPUTE-tagged node — XLA
+        overlaps it with the bloom pyramid exactly like the reference's
+        async-compute queue."""
+        g.add_pass("bloom-threshold", Queue.GRAPHICS) \
+            .add_texture_input("hdr") \
+            .add_history_input("luminance") \
+            .add_color_output("bloom-thresh", rel(0.5, 4)) \
+            .set_execute(self._bloom_threshold_pass)
+        g.add_pass("luminance", Queue.ASYNC_COMPUTE) \
+            .add_texture_input("bloom-thresh") \
+            .add_history_input("luminance") \
+            .add_storage_output("luminance", BufferInfo((), jnp.float32)) \
+            .set_execute(self._luminance_pass)
+        sizes = [0.25, 0.125, 0.0625, 0.03125]
+        prev = "bloom-thresh"
+        for i, s in enumerate(sizes):
+            p = g.add_pass(f"bloom-down{i}", Queue.COMPUTE) \
+                .add_texture_input(prev) \
+                .add_color_output(f"bloom-d{i}", rel(s, 4))
+            if i == 0:
+                p.add_history_input("bloom-d0")   # FEEDBACK variant
+            p.set_execute(self._make_bloom_down(i, prev))
+            prev = f"bloom-d{i}"
+        for j, s in enumerate([0.0625, 0.125]):
+            src = prev
+            name = "bloom-final" if j == 1 else f"bloom-u{j}"
+            g.add_pass(f"bloom-up{j}", Queue.COMPUTE) \
+                .add_texture_input(src) \
+                .add_color_output(name, rel(s, 4)) \
+                .set_execute(self._make_bloom_up(src, name))
+            prev = name
+        return prev
 
     # -- passes ------------------------------------------------------------------
     def _shadow_pass(self, ctx):
@@ -272,36 +386,127 @@ class SceneViewerApplication(Application):
             ctx.params["shadow_object_mask"])
         return {"shadow-depth": depth}
 
-    def _forward_pass(self, ctx):
+    def _raster_surface(self, ctx):
         p = ctx.params
         clip, wpos, wnrm, wtan = transform_vertices(
             self.packed, ctx.input("world"), ctx.input("normal_mats"),
             p["view_proj"])
         setup, depth, tri = rasterize_scene(
             self.packed, clip, p["object_mask"], self._rw, self._rh)
-        shadow_map = ctx.input("shadow-depth") \
-            if self.config.directional_light_shadows else None
-        color = forward_shade(
-            self.packed, setup, depth, tri, wpos, wnrm, wtan, p,
-            shadow_map=shadow_map,
-            shadow_uv_mat=p.get("shadow_uv_mat"),
-            width=self._rw, height=self._rh,
-            background=jnp.array([0.1, 0.15, 0.25], jnp.float32),
-            pcf_wide=self.config.pcf_kernel_wide)
+        surf = surface_attributes(
+            self.packed, setup, tri, wpos, wnrm, wtan, self._rw, self._rh,
+            lod_bias=self.config.lod_bias)
+        return surf, depth
+
+    def _light_kwargs(self, ctx):
+        p = ctx.params
+        kw = dict(shadow_map=(ctx.input("shadow-depth")
+                              if self.config.directional_light_shadows
+                              else None),
+                  shadow_uv_mat=p.get("shadow_uv_mat"),
+                  width=self._rw, height=self._rh,
+                  background=jnp.array([0.1, 0.15, 0.25], jnp.float32),
+                  pcf_wide=self.config.pcf_kernel_wide)
+        if self._has_lights:
+            zn, zf = self._cluster_range
+            kw.update(lights=p["lights"],
+                      z_masks=p["z_masks"], tile_masks=p["tile_masks"],
+                      z_near=zn, z_far=zf,
+                      cluster_tile=self.CLUSTER_TILE)
+        return kw
+
+    def _forward_pass(self, ctx):
+        surf, _depth = self._raster_surface(ctx)
+        color = shade_surface(surf, ctx.params, **self._light_kwargs(ctx))
         return {"hdr": color}
 
-    def _blit_pass(self, ctx):
+    def _gbuffer_pass(self, ctx):
+        surf, depth = self._raster_surface(ctx)
+        return {"g-base": surf["base_color"], "g-normal": surf["normal"],
+                "g-pbr": jnp.stack([surf["metallic"], surf["roughness"]],
+                                   axis=-1),
+                "g-emissive": surf["emissive"], "g-pos": surf["pos"],
+                "depth-main": depth, "g-covered": surf["covered"]}
+
+    def _lighting_pass(self, ctx):
+        surf = {"base_color": ctx.input("g-base"),
+                "normal": ctx.input("g-normal"),
+                "metallic": ctx.input("g-pbr")[..., 0],
+                "roughness": ctx.input("g-pbr")[..., 1],
+                "emissive": ctx.input("g-emissive"),
+                "pos": ctx.input("g-pos"),
+                "covered": ctx.input("g-covered")}
+        color = shade_surface(surf, ctx.params, **self._light_kwargs(ctx))
+        return {"hdr": color}
+
+    def _bloom_threshold_pass(self, ctx):
+        h, w = ctx.size("bloom-thresh")
+        avg_lin = jnp.exp2(ctx.history("luminance"))
+        return {"bloom-thresh": HDR.bloom_threshold(
+            ctx.input("hdr"), avg_lin, h, w,
+            dynamic_exposure=self.config.hdr_bloom_dynamic_exposure)}
+
+    def _luminance_pass(self, ctx):
+        new_log = HDR.average_log_luminance(
+            ctx.input("bloom-thresh"), ctx.history("luminance"),
+            ctx.params["frame_time"])
+        return {"luminance": new_log}
+
+    def _make_bloom_down(self, i: int, src: str):
+        def ex(ctx):
+            h, w = ctx.size(f"bloom-d{i}")
+            hist = ctx.history("bloom-d0") if i == 0 else None
+            return {f"bloom-d{i}": HDR.bloom_downsample(
+                ctx.input(src), h, w, history=hist,
+                frame_time=ctx.params["frame_time"] if i == 0 else None)}
+        return ex
+
+    def _make_bloom_up(self, src: str, dst: str):
+        def ex(ctx):
+            h, w = ctx.size(dst)
+            return {dst: HDR.bloom_upsample(ctx.input(src), h, w)}
+        return ex
+
+    def _tonemap_pass(self, ctx):
         hdr = ctx.input("hdr")
         h, w = ctx.backbuffer_size()
-        if hdr.shape[:2] != (h, w):
-            # nearest upscale for resolutionScale < 1 (scaler analogue)
-            yi = (jnp.arange(h) * hdr.shape[0] // h)
-            xi = (jnp.arange(w) * hdr.shape[1] // w)
-            hdr = hdr[yi][:, xi]
-        ldr = hdr / (1.0 + hdr)  # Reinhard placeholder until HDR chain lands
+        bloom = None
+        avg_log = None
+        if self.config.hdr_bloom:
+            bloom = ctx.input("bloom-final")
+            if self.config.hdr_bloom_dynamic_exposure:
+                avg_log = ctx.input("luminance")
+        ldr = HDR.tonemap(hdr, bloom, avg_log)
+        if ldr.shape[:2] != (h, w):
+            ldr = HDR.resize_bilinear(ldr, h, w)
         return {"backbuffer": encode_rgba8(ldr)}
 
     # -- frame --------------------------------------------------------------------
+    def _collect_lights(self):
+        """Positional lights from scene nodes -> fixed-capacity table."""
+        pos, col, rad, dirs, inner, outer, spot = [], [], [], [], [], [], []
+        from ..scene.scene_formats import LIGHT_POINT, LIGHT_SPOT
+        for i, nd in enumerate(self.info.nodes):
+            if nd.light is None:
+                continue
+            light = self.info.lights[nd.light]
+            if light.type not in (LIGHT_POINT, LIGHT_SPOT):
+                continue
+            w = self.scene.world[i]
+            pos.append(w[:3, 3])
+            col.append(light.color * light.intensity)
+            rad.append(light.range if light.range > 0 else 100.0)
+            dirs.append(-w[:3, 2] / max(np.linalg.norm(w[:3, 2]), 1e-9))
+            inner.append(light.inner_cone)
+            outer.append(light.outer_cone)
+            spot.append(1.0 if light.type == LIGHT_SPOT else 0.0)
+        if not pos:
+            return None
+        return pack_lights(np.asarray(pos), np.asarray(col),
+                           np.asarray(rad), np.asarray(dirs),
+                           np.asarray(inner), np.asarray(outer),
+                           np.asarray(spot), capacity=self.LIGHT_CAPACITY)
+
     def render_frame(self, frame_time: float, elapsed_time: float):
         scene = self.scene
         scene.update_transform_tree()
@@ -331,6 +536,7 @@ class SceneViewerApplication(Application):
             "external": {"world": jnp.asarray(world),
                          "normal_mats": jnp.asarray(nm)},
             "view_proj": jnp.asarray(self.context.view_projection),
+            "view": jnp.asarray(self.context.view),
             "camera_pos": jnp.asarray(self.context.camera_pos),
             "sun_dir": jnp.asarray(self._sun_dir),
             "sun_color": jnp.asarray(self._sun_color),
@@ -338,7 +544,17 @@ class SceneViewerApplication(Application):
             "shadow_object_mask": jnp.asarray(shadow_mask),
             "shadow_vp": jnp.asarray(light_vp),
             "shadow_uv_mat": jnp.asarray(shadow_uv_transform(light_vp)),
+            "frame_time": jnp.float32(frame_time),
         }
+        if self._has_lights:
+            lights = self._collect_lights()
+            params["lights"] = lights
+            zn, zf = self._cluster_range
+            params["z_masks"] = bin_lights_z(
+                lights, params["view"], self.CLUSTER_Z_SLICES, zn, zf)
+            params["tile_masks"] = bin_lights_tiles(
+                lights, params["view_proj"], self._rw, self._rh,
+                self.CLUSTER_TILE)
         out, self._history = self.graph.execute(params, self._history)
         return out
 

@@ -1,0 +1,146 @@
+"""HDR post-processing chain (reference: renderer/post/hdr.cpp:308
+setup_hdr_postprocess + assets/shaders/post/{bloom_threshold,
+bloom_downsample,bloom_upsample,luminance,tonemap}).
+
+Pipeline (all constants match the reference exactly):
+  threshold (1/2 res): lum = max(r,g,b)+1e-4; emits
+      rgb = max(color/lum * (lum - 8*avg_lum), 0), a = log2(lum)
+  luminance: mean of the threshold pass's log2-luminance plane, clamped to
+      [-3, 2], temporally smoothed new = lerp(old, avg, 1-0.5^dt)
+      (hdr.cpp:56-63).  The average is ONE jnp.mean — the reference's
+      whole workgroup-reduction compute shader (luminance.comp) collapses
+      into a single XLA reduce, and runs as an independent dispatch
+      (the async-compute analogue).
+  bloom pyramid: 9-tap downsamples at offsets +-1.75 texels (weights
+      0.25/0.125/0.0625), first level with temporal FEEDBACK
+      lerp = 1-0.001^dt; 2 upsamples at +-0.875 texels.
+  tonemap: Uncharted2 filmic with white point 11.2, exposure
+      avg_inv_linear_luminance * dynamic_exposure.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+LUM_MIN_LOG = -3.0
+LUM_MAX_LOG = 2.0
+
+
+def _sample_bilinear_uv(img, u, v):
+    """Bilinear sample of (H, W, C) at normalized UV (clamp-to-edge)."""
+    h, w = img.shape[:2]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    t00 = img[y0i, x0i]
+    t10 = img[y0i, x1i]
+    t01 = img[y1i, x0i]
+    t11 = img[y1i, x1i]
+    return ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
+            + (t01 * (1 - fx) + t11 * fx) * fy)
+
+
+def resize_bilinear(img, out_h: int, out_w: int):
+    u = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
+    v = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
+    uu, vv = jnp.meshgrid(u, v)
+    return _sample_bilinear_uv(img, uu, vv)
+
+
+def bloom_threshold(hdr, avg_linear_lum, out_h: int, out_w: int,
+                    dynamic_exposure: bool = True):
+    """bloom_threshold.frag at half resolution.  Returns (h, w, 4):
+    rgb = thresholded color, a = log2 luminance (feeds the luminance
+    reduction — same packing trick as the reference)."""
+    half = resize_bilinear(hdr, out_h, out_w)
+    lum = jnp.max(half, axis=-1) + 1e-4
+    loglum = jnp.log2(lum)
+    color = half / lum[..., None]
+    thresh = lum - (8.0 * avg_linear_lum if dynamic_exposure else 8.0)
+    rgb = jnp.maximum(color * thresh[..., None], 0.0)
+    return jnp.concatenate([rgb, loglum[..., None]], axis=-1)
+
+
+def average_log_luminance(threshold_out, old_log_lum, frame_time):
+    """luminance.comp: mean of the loglum plane, clamped, smoothed."""
+    avg = jnp.clip(threshold_out[..., 3].mean(), LUM_MIN_LOG, LUM_MAX_LOG)
+    lerp = 1.0 - jnp.power(0.5, frame_time)
+    new_log = old_log_lum + (avg - old_log_lum) * lerp
+    return new_log            # linear = exp2(new_log)
+
+
+_DOWN_TAPS = [(0.25, 0.0, 0.0),
+              (0.0625, -1.75, 1.75), (0.125, 0.0, 1.75),
+              (0.0625, 1.75, 1.75), (0.125, -1.75, 0.0),
+              (0.125, 1.75, 0.0), (0.0625, -1.75, -1.75),
+              (0.125, 0.0, -1.75), (0.0625, 1.75, -1.75)]
+
+_UP_TAPS = [(0.25, 0.0, 0.0),
+            (0.0625, -0.875, 0.875), (0.125, 0.0, 0.875),
+            (0.0625, 0.875, 0.875), (0.125, -0.875, 0.0),
+            (0.125, 0.875, 0.0), (0.0625, -0.875, -0.875),
+            (0.125, 0.0, -0.875), (0.0625, 0.875, -0.875)]
+
+
+def _taps(img, out_h: int, out_w: int, taps):
+    in_h, in_w = img.shape[:2]
+    u = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
+    v = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
+    uu, vv = jnp.meshgrid(u, v)
+    acc = 0.0
+    for wgt, dx, dy in taps:
+        acc = acc + wgt * _sample_bilinear_uv(
+            img, uu + dx / in_w, vv + dy / in_h)
+    return acc
+
+
+def bloom_downsample(img, out_h: int, out_w: int, history=None,
+                     frame_time=None):
+    """bloom_downsample.frag (9 taps, +-1.75 texels); FEEDBACK variant
+    lerps with last frame's output (hdr.cpp:182 lerp = 1-0.001^dt)."""
+    out = _taps(img, out_h, out_w, _DOWN_TAPS)
+    if history is not None:
+        lerp = 1.0 - jnp.power(0.001, frame_time)
+        out = history + (out - history) * lerp
+    return out
+
+
+def bloom_upsample(img, out_h: int, out_w: int):
+    return _taps(img, out_h, out_w, _UP_TAPS)
+
+
+# Uncharted2 filmic constants (tonemap.frag:24-31).
+_A, _B, _C, _D, _E, _F, _W = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30, 11.2
+
+
+def _uncharted2(x):
+    return ((x * (_A * x + _C * _B) + _D * _E)
+            / (x * (_A * x + _B) + _D * _F)) - _E / _F
+
+
+def tonemap_filmic(color):
+    white_scale = 1.0 / _uncharted2(_W)
+    return _uncharted2(color) * white_scale
+
+
+def tonemap(hdr, bloom, avg_log_lum=None, dynamic_exposure_scale=1.0):
+    """tonemap.frag: hdr + bloom (bilinearly upsampled), exposure scale,
+    filmic curve."""
+    h, w = hdr.shape[:2]
+    if bloom is not None:
+        if bloom.shape[:2] != (h, w):
+            bloom = resize_bilinear(bloom, h, w)
+        hdr = hdr + bloom[..., :3]
+    if avg_log_lum is not None:
+        exposure = jnp.exp2(-avg_log_lum) * dynamic_exposure_scale
+    else:
+        exposure = dynamic_exposure_scale
+    return tonemap_filmic(hdr * exposure)

@@ -1,2 +1,6 @@
 from .render_context import RenderContext
-from .scene_renderer import PackedScene, forward_shade, transform_vertices
+from .scene_renderer import (
+    PackedScene, forward_shade, pack_scene, rasterize_scene,
+    render_shadow_map, shade_surface, surface_attributes,
+    transform_vertices,
+)

@@ -215,14 +215,15 @@ def rasterize_scene(scene: PackedScene, clip, object_mask, width: int,
     return setup, depth, tri
 
 
-def forward_shade(scene: PackedScene, setup, depth, tri, world_pos,
-                  world_normal, world_tangent, params, shadow_map=None,
-                  shadow_uv_mat=None, width: int = 0, height: int = 0,
-                  background=None, pcf_wide: bool = False):
-    """Visibility-buffer forward shading: gathers + PBR + shadow.
+def surface_attributes(scene: PackedScene, setup, tri, world_pos,
+                       world_normal, world_tangent, width: int, height: int,
+                       lod_bias: float = 0.0):
+    """Visibility-buffer resolve: material gathers + texture sampling +
+    normal mapping.  Shared by the forward path (static_mesh.frag) and
+    the deferred G-buffer pass (static_mesh.frag DEFERRED variant).
 
-    The analogue of static_mesh.frag with SHADOWS defined
-    (forward rendering path, renderer type 'forward').
+    Returns dict: pos, normal, base_color, metallic, roughness, emissive,
+    covered.
     """
     px, py = R.pixel_centers(width, height)
     covered = tri >= 0
@@ -244,7 +245,8 @@ def forward_shade(scene: PackedScene, setup, depth, tri, world_pos,
 
     S = scene.textures.shape[2]
     lod = T.lod_from_derivs(duvdx[..., 0], duvdx[..., 1],
-                            duvdy[..., 0], duvdy[..., 1], S, S)
+                            duvdy[..., 0], duvdy[..., 1], S, S,
+                            bias=lod_bias)
     u, v = uv[..., 0], uv[..., 1]
     base_tex = T.sample_array_trilinear(scene.textures, tex_ids[..., 0],
                                         u, v, lod)
@@ -252,10 +254,13 @@ def forward_shade(scene: PackedScene, setup, depth, tri, world_pos,
                                       u, v, lod)
     nrm_tex = T.sample_array_trilinear(scene.textures, tex_ids[..., 2],
                                        u, v, lod)
+    emis_tex = T.sample_array_trilinear(scene.textures, tex_ids[..., 3],
+                                        u, v, lod)
 
     base_color = base_factor[..., :3] * base_tex[..., :3]
     metallic = mr_factor[..., 0] * mr_tex[..., 2]     # glTF: B=metal
     roughness = mr_factor[..., 1] * mr_tex[..., 1]    # G=rough
+    emissive = emissive * emis_tex[..., :3]
 
     # Normal mapping (static_mesh.frag tangent-frame path).
     n = _normalize(nrm)
@@ -264,24 +269,61 @@ def forward_shade(scene: PackedScene, setup, depth, tri, world_pos,
     tn = nrm_tex[..., :3] * 2.0 - 1.0
     n_mapped = _normalize(tn[..., 0:1] * t3 + tn[..., 1:2] * b
                           + tn[..., 2:3] * n)
+    return {"pos": pos, "normal": n_mapped, "base_color": base_color,
+            "metallic": metallic, "roughness": roughness,
+            "emissive": emissive, "covered": covered}
 
+
+def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
+                  lights=None, z_masks=None, tile_masks=None,
+                  width: int = 0, height: int = 0,
+                  background=None, pcf_wide: bool = False,
+                  z_near: float = 0.1, z_far: float = 1000.0,
+                  cluster_tile: int = 64):
+    """Lighting from resolved surface attributes: directional + shadow +
+    clustered positional lights + emissive (lighting.h compute_lighting +
+    compute_cluster_light).  Used by both forward and deferred paths —
+    in deferred the `surf` dict comes from G-buffer arrays instead of the
+    raster resolve, matching the reference's shared lighting.h."""
+    pos = surf["pos"]
     shadow_term = 1.0
     if shadow_map is not None:
         shadow_term = sample_directional_shadow(
             shadow_map, shadow_uv_mat, pos, wide=pcf_wide)
 
     color = compute_lighting(
-        base_color, n_mapped, metallic, roughness,
-        ambient_factor=jnp.ones_like(metallic),
+        surf["base_color"], surf["normal"], surf["metallic"],
+        surf["roughness"], ambient_factor=jnp.ones_like(surf["metallic"]),
         world_pos=pos, camera_pos=params["camera_pos"],
         light_dir=params["sun_dir"], light_color=params["sun_color"],
         shadow_term=shadow_term)
-    color = color + emissive
 
+    if lights is not None:
+        from ..ops.clusterer import shade_clustered
+        px, py = R.pixel_centers(width, height)
+        color = color + shade_clustered(
+            lights, z_masks, tile_masks, surf["base_color"],
+            surf["normal"], surf["metallic"], surf["roughness"], pos,
+            params["camera_pos"], params["view"], px, py,
+            z_near=z_near, z_far=z_far, tile=cluster_tile)
+
+    color = color + surf["emissive"]
     if background is None:
         background = jnp.zeros(3, jnp.float32)
-    color = jnp.where(covered[..., None], color, background)
-    return color
+    return jnp.where(surf["covered"][..., None], color, background)
+
+
+def forward_shade(scene: PackedScene, setup, depth, tri, world_pos,
+                  world_normal, world_tangent, params, shadow_map=None,
+                  shadow_uv_mat=None, width: int = 0, height: int = 0,
+                  background=None, pcf_wide: bool = False, **light_kw):
+    """Forward path: resolve + light in one fused pass."""
+    surf = surface_attributes(scene, setup, tri, world_pos, world_normal,
+                              world_tangent, width, height)
+    return shade_surface(surf, params, shadow_map=shadow_map,
+                         shadow_uv_mat=shadow_uv_mat, width=width,
+                         height=height, background=background,
+                         pcf_wide=pcf_wide, **light_kw)
 
 
 def _normalize(v, eps=1e-20):
