@@ -55,6 +55,8 @@ class ViewerConfig:
     resolution_scale: float = 1.0
     post_aa: str = "none"
     lod_bias: float = 0.0
+    ocean: bool = False            # .scene composition extension
+    terrain: bool = False
     unsupported: dict = field(default_factory=dict)
 
     @classmethod
@@ -73,6 +75,8 @@ class ViewerConfig:
             "resolutionScale": "resolution_scale",
             "postAA": "post_aa",
             "lodBias": "lod_bias",
+            "ocean": "ocean",
+            "terrain": "terrain",
         }
         for k, v in doc.items():
             if k in mapping:
@@ -182,8 +186,20 @@ class SceneViewerApplication(Application):
             info = build_default_test_scene()
             LOGI("Using procedural test scene")
         self.info = info
+        self.ocean = None
+        self._ocean_obj = -1
+        if self.config.ocean:
+            self._add_ocean(info)
+        if self.config.terrain:
+            self._add_terrain(info)
         self.scene = self._build_runtime_scene(info)
         self.packed: PackedScene = pack_scene(info)
+        if self.ocean is not None:
+            # per-vertex mask of the ocean grid + exclude from shadow casting
+            self._ocean_vmask = jnp.asarray(
+                np.asarray(self.packed.v_node) == self._ocean_node)
+            self._ocean_obj = int(np.nonzero(
+                self.packed.obj_node == self._ocean_node)[0][0])
         self.context = RenderContext()
         self.camera = self._setup_camera(args)
         self.graph = RenderGraph()
@@ -196,6 +212,51 @@ class SceneViewerApplication(Application):
             light = info.lights[light_idx]
             if light.type == 0:  # directional
                 self._sun_color = light.color * light.intensity
+
+    def _add_ocean(self, info: SceneInfo) -> None:
+        """Compose an FFT ocean into the scene (renderer/ocean.cpp;
+        config 5 of BASELINE.md)."""
+        from ..renderer.ocean import Ocean, OceanConfig
+        from ..scene.scene_formats import MaterialData, NodeData
+        self.ocean = Ocean(OceanConfig())
+        mat = len(info.materials)
+        info.materials.append(MaterialData(
+            name="ocean",
+            base_color_factor=np.array([0.02, 0.07, 0.12, 1], np.float32),
+            roughness_factor=0.15, metallic_factor=0.0))
+        mesh = len(info.meshes)
+        info.meshes.append(self.ocean.grid_mesh(mat))
+        self._ocean_node = len(info.nodes)
+        nd = NodeData(name="ocean",
+                      translation=np.array([0, -0.8, 0], np.float32),
+                      meshes=[mesh])
+        info.nodes.append(nd)
+        if info.roots:
+            info.nodes[info.roots[0]].children.append(self._ocean_node)
+        else:
+            info.roots.append(self._ocean_node)
+
+    def _add_terrain(self, info: SceneInfo) -> None:
+        """Compose a heightmap terrain (renderer/ground.cpp)."""
+        from ..renderer.ground import fbm_heightmap, ground_mesh
+        from ..scene.scene_formats import MaterialData, NodeData
+        mat = len(info.materials)
+        info.materials.append(MaterialData(
+            name="ground",
+            base_color_factor=np.array([0.25, 0.3, 0.12, 1], np.float32),
+            roughness_factor=0.95, metallic_factor=0.0))
+        mesh = len(info.meshes)
+        info.meshes.append(ground_mesh(fbm_heightmap(amplitude=2.5),
+                                       world_size=80.0, material=mat))
+        node = len(info.nodes)
+        nd = NodeData(name="ground",
+                      translation=np.array([0, -1.5, 0], np.float32),
+                      meshes=[mesh])
+        info.nodes.append(nd)
+        if info.roots:
+            info.nodes[info.roots[0]].children.append(node)
+        else:
+            info.roots.append(node)
 
     def _build_runtime_scene(self, info: SceneInfo) -> Scene:
         s = Scene()
@@ -279,6 +340,22 @@ class SceneViewerApplication(Application):
             return AttachmentInfo(SizeClass.SWAPCHAIN_RELATIVE, rs * scale,
                                   rs * scale, channels=channels, dtype=dtype)
 
+        # Temporal jitter for TAA/SMAA-T2X (post/temporal.cpp; post/aa.cpp
+        # string-keyed AA selection).
+        from ..ops import taa as TAA
+        aa = self.config.post_aa
+        self._use_taa = aa in ("taa", "taa-extreme", "smaaT2X",
+                               "fxaa2phase")
+        self._use_fxaa = aa in ("fxaa", "fxaa2phase")
+        if self._use_taa:
+            phases = {"taa": TAA.JITTER_TAA_8PHASE,
+                      "taa-extreme": TAA.JITTER_TAA_16PHASE,
+                      "smaaT2X": TAA.JITTER_SMAA_T2X,
+                      "fxaa2phase": TAA.JITTER_FXAA_2PHASE}[aa]
+            self._jitter = TAA.TemporalJitter(phases, self._rw, self._rh)
+        else:
+            self._jitter = None
+
         if use_shadow:
             g.add_pass("shadow-main", Queue.GRAPHICS) \
                 .add_external_input("world") \
@@ -287,6 +364,14 @@ class SceneViewerApplication(Application):
                     AttachmentInfo(SizeClass.ABSOLUTE, shadow_res,
                                    shadow_res, channels=1)) \
                 .set_execute(self._shadow_pass)
+
+        if self.ocean is not None:
+            n = self.ocean.config.fft_resolution
+            g.add_pass("ocean-fft", Queue.ASYNC_COMPUTE) \
+                .add_color_output("ocean-maps",
+                                  AttachmentInfo(SizeClass.ABSOLUTE, n, n,
+                                                 channels=5)) \
+                .set_execute(self.ocean.fft_pass)
 
         if self.config.renderer == "deferred":
             # G-buffer pass (scene_viewer_application.cpp:876 deferred
@@ -302,6 +387,8 @@ class SceneViewerApplication(Application):
                 .add_color_output("g-pos", rel(1, 3)) \
                 .add_depth_stencil_output("depth-main", rel(1, 1)) \
                 .add_color_output("g-covered", rel(1, 1, jnp.bool_))
+            if self.ocean is not None:
+                gb.add_texture_input("ocean-maps")
             gb.set_execute(self._gbuffer_pass)
             light = g.add_pass("lighting", Queue.GRAPHICS) \
                 .add_attachment_input("g-base") \
@@ -318,29 +405,56 @@ class SceneViewerApplication(Application):
             forward = g.add_pass("forward", Queue.GRAPHICS) \
                 .add_external_input("world") \
                 .add_external_input("normal_mats") \
-                .add_color_output("hdr", rel(1, 3))
+                .add_color_output("hdr", rel(1, 3)) \
+                .add_depth_stencil_output("depth-main", rel(1, 1))
             if use_shadow:
                 forward.add_texture_input("shadow-depth")
+            if self.ocean is not None:
+                forward.add_texture_input("ocean-maps")
             forward.set_execute(self._forward_pass)
 
-        final_hdr = "hdr"
-        if self.config.hdr_bloom:
-            final_hdr = self._add_hdr_chain(g, rel)
+        hdr_name = "hdr"
+        if self._use_taa:
+            # TAA resolve before the HDR chain (taa_resolve.frag);
+            # history carried in TAA color space.
+            g.add_pass("taa-resolve", Queue.GRAPHICS) \
+                .add_texture_input("hdr") \
+                .add_texture_input("depth-main") \
+                .add_history_input("taa-history") \
+                .add_color_output("hdr-resolved", rel(1, 3)) \
+                .add_color_output("taa-history", rel(1, 3)) \
+                .set_execute(self._taa_pass)
+            hdr_name = "hdr-resolved"
+        self._hdr_name = hdr_name
 
+        if self.config.hdr_bloom:
+            self._add_hdr_chain(g, rel, hdr_name)
+
+        ldr_target = "ldr" if self._use_fxaa else "backbuffer"
+        ldr_info = AttachmentInfo(channels=3) if self._use_fxaa else \
+            AttachmentInfo(channels=4, dtype=jnp.uint8)
         tm = g.add_pass("tonemap", Queue.GRAPHICS) \
-            .add_texture_input("hdr") \
-            .add_color_output("backbuffer",
-                              AttachmentInfo(channels=4, dtype=jnp.uint8))
+            .add_texture_input(hdr_name) \
+            .add_color_output(ldr_target, ldr_info)
         if self.config.hdr_bloom:
             tm.add_texture_input("bloom-final")
             tm.add_texture_input("luminance")
         tm.set_execute(self._tonemap_pass)
+
+        if self._use_fxaa:
+            # FXAA on tonemapped LDR (post/aa.cpp fxaa path).
+            g.add_pass("fxaa", Queue.GRAPHICS) \
+                .add_texture_input("ldr") \
+                .add_color_output("backbuffer",
+                                  AttachmentInfo(channels=4,
+                                                 dtype=jnp.uint8)) \
+                .set_execute(self._fxaa_pass)
         g.set_backbuffer_source("backbuffer")
         g.bake()
         g.log()
         self._history = g.initial_history()
 
-    def _add_hdr_chain(self, g, rel) -> str:
+    def _add_hdr_chain(self, g, rel, hdr_name: str = "hdr") -> str:
         """setup_hdr_postprocess (renderer/post/hdr.cpp:308): threshold at
         1/2 res -> 4 downsamples (first with temporal feedback) -> 2
         upsamples; async average-luminance reduction with temporal lerp.
@@ -348,7 +462,7 @@ class SceneViewerApplication(Application):
         overlaps it with the bloom pyramid exactly like the reference's
         async-compute queue."""
         g.add_pass("bloom-threshold", Queue.GRAPHICS) \
-            .add_texture_input("hdr") \
+            .add_texture_input(hdr_name) \
             .add_history_input("luminance") \
             .add_color_output("bloom-thresh", rel(0.5, 4)) \
             .set_execute(self._bloom_threshold_pass)
@@ -388,9 +502,15 @@ class SceneViewerApplication(Application):
 
     def _raster_surface(self, ctx):
         p = ctx.params
+        displace_fn = None
+        if self.ocean is not None:
+            maps = ctx.input("ocean-maps")
+            vmask = self._ocean_vmask
+            displace_fn = lambda pos, nrm: self.ocean.displace(
+                pos, nrm, vmask, maps)
         clip, wpos, wnrm, wtan = transform_vertices(
             self.packed, ctx.input("world"), ctx.input("normal_mats"),
-            p["view_proj"])
+            p["view_proj"], displace_fn=displace_fn)
         setup, depth, tri = rasterize_scene(
             self.packed, clip, p["object_mask"], self._rw, self._rh)
         surf = surface_attributes(
@@ -416,9 +536,9 @@ class SceneViewerApplication(Application):
         return kw
 
     def _forward_pass(self, ctx):
-        surf, _depth = self._raster_surface(ctx)
+        surf, depth = self._raster_surface(ctx)
         color = shade_surface(surf, ctx.params, **self._light_kwargs(ctx))
-        return {"hdr": color}
+        return {"hdr": color, "depth-main": depth}
 
     def _gbuffer_pass(self, ctx):
         surf, depth = self._raster_surface(ctx)
@@ -439,11 +559,25 @@ class SceneViewerApplication(Application):
         color = shade_surface(surf, ctx.params, **self._light_kwargs(ctx))
         return {"hdr": color}
 
+    def _taa_pass(self, ctx):
+        from ..ops.taa import taa_resolve
+        out, hist = taa_resolve(
+            ctx.input("hdr"), ctx.history("taa-history"),
+            ctx.input("depth-main"), ctx.params["taa_reproj"],
+            self._rw, self._rh)
+        return {"hdr-resolved": out, "taa-history": hist}
+
+    def _fxaa_pass(self, ctx):
+        from ..ops.fxaa import fxaa
+        h, w = ctx.backbuffer_size()
+        out = fxaa(ctx.input("ldr"), w, h)
+        return {"backbuffer": encode_rgba8(out)}
+
     def _bloom_threshold_pass(self, ctx):
         h, w = ctx.size("bloom-thresh")
         avg_lin = jnp.exp2(ctx.history("luminance"))
         return {"bloom-thresh": HDR.bloom_threshold(
-            ctx.input("hdr"), avg_lin, h, w,
+            ctx.input(self._hdr_name), avg_lin, h, w,
             dynamic_exposure=self.config.hdr_bloom_dynamic_exposure)}
 
     def _luminance_pass(self, ctx):
@@ -468,7 +602,7 @@ class SceneViewerApplication(Application):
         return ex
 
     def _tonemap_pass(self, ctx):
-        hdr = ctx.input("hdr")
+        hdr = ctx.input(self._hdr_name)
         h, w = ctx.backbuffer_size()
         bloom = None
         avg_log = None
@@ -477,6 +611,10 @@ class SceneViewerApplication(Application):
             if self.config.hdr_bloom_dynamic_exposure:
                 avg_log = ctx.input("luminance")
         ldr = HDR.tonemap(hdr, bloom, avg_log)
+        if self._use_fxaa:
+            if ldr.shape[:2] != (h, w):
+                ldr = HDR.resize_bilinear(ldr, h, w)
+            return {"ldr": jnp.clip(ldr, 0.0, 1.0)}
         if ldr.shape[:2] != (h, w):
             ldr = HDR.resize_bilinear(ldr, h, w)
         return {"backbuffer": encode_rgba8(ldr)}
@@ -512,6 +650,13 @@ class SceneViewerApplication(Application):
         scene.update_transform_tree()
         self.context.set_camera(self.camera)
         self.context.set_lighting(self._sun_dir, self._sun_color)
+        taa_reproj = None
+        if self._jitter is not None:
+            # Render with jittered projection; keep the un-jittered VP for
+            # reprojection (post/temporal.cpp banks).
+            jittered = self._jitter.step(self.context.view_projection)
+            taa_reproj = self._jitter.reproject_matrix()
+            self.context.view_projection = jittered
 
         # host-side culling -> per-object masks
         vis = scene.gather_visible_opaque_renderables(self.context.frustum)
@@ -526,6 +671,8 @@ class SceneViewerApplication(Application):
             Frustum(light_vp))] = True
         shadow_mask[scene.gather_visible_dynamic_shadow_renderables(
             Frustum(light_vp))] = True
+        if self._ocean_obj >= 0:
+            shadow_mask[self._ocean_obj] = False  # water casts no shadow
 
         n = scene.num_nodes
         world = scene.world[:n]
@@ -546,6 +693,11 @@ class SceneViewerApplication(Application):
             "shadow_uv_mat": jnp.asarray(shadow_uv_transform(light_vp)),
             "frame_time": jnp.float32(frame_time),
         }
+        if taa_reproj is not None:
+            params["taa_reproj"] = jnp.asarray(taa_reproj)
+        if self.ocean is not None:
+            params["ocean_time"] = jnp.float32(
+                elapsed_time % (self.ocean.config.animation_period * 2))
         if self._has_lights:
             lights = self._collect_lights()
             params["lights"] = lights

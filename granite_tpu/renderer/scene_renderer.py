@@ -180,7 +180,8 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
 # Device-side frame stages (called from graph pass execute fns).
 # ---------------------------------------------------------------------------
 
-def transform_vertices(scene: PackedScene, world, normal_mats, view_proj):
+def transform_vertices(scene: PackedScene, world, normal_mats, view_proj,
+                       displace_fn=None):
     """Per-vertex node-matrix gather + transform.
 
     world: (N, 4, 4); normal_mats: (N, 3, 3); view_proj: (4, 4).
@@ -188,15 +189,21 @@ def transform_vertices(scene: PackedScene, world, normal_mats, view_proj):
              world_tangent (V,4)).
     This replaces static_mesh.vert's per-draw uniforms: ALL meshes transform
     in one batched gather+einsum (the MXU-shaped hot path).
+
+    displace_fn(world_pos, world_normal) -> (pos, normal): procedural
+    vertex displacement hook (ocean/terrain heightfields; the analogue of
+    ocean.vert's heightmap fetch) applied before projection.
     """
     wm = world[scene.v_node]                          # (V, 4, 4)
     p = scene.positions
     world_pos = jnp.einsum("vij,vj->vi", wm[:, :3, :3], p) + wm[:, :3, 3]
+    nm = normal_mats[scene.v_node]
+    world_normal = jnp.einsum("vij,vj->vi", nm, scene.normals)
+    if displace_fn is not None:
+        world_pos, world_normal = displace_fn(world_pos, world_normal)
     clip = world_pos @ view_proj[:3, :3].T + view_proj[:3, 3]
     clip_w = world_pos @ view_proj[3, :3].T + view_proj[3, 3]
     clip = jnp.concatenate([clip, clip_w[:, None]], axis=1)
-    nm = normal_mats[scene.v_node]
-    world_normal = jnp.einsum("vij,vj->vi", nm, scene.normals)
     world_tan = jnp.einsum("vij,vj->vi", wm[:, :3, :3],
                            scene.tangents[:, :3])
     world_tangent = jnp.concatenate([world_tan, scene.tangents[:, 3:4]],

@@ -1,0 +1,74 @@
+"""AA tests (aa_bench analogue): TAA color space round-trip, jitter
+sequence, resolve convergence; FXAA edge smoothing."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from granite_tpu.ops.taa import (
+    JITTER_TAA_8PHASE, TemporalJitter, hdr_to_taa, taa_to_hdr, taa_resolve,
+)
+from granite_tpu.ops.fxaa import fxaa
+
+
+def test_taa_color_space_roundtrip():
+    rng = np.random.RandomState(0)
+    hdr = jnp.asarray(rng.uniform(0, 4, (8, 8, 3)).astype(np.float32))
+    back = taa_to_hdr(hdr_to_taa(hdr))
+    assert np.allclose(np.asarray(back), np.asarray(hdr), rtol=1e-3,
+                       atol=1e-4)
+
+
+def test_jitter_sequence():
+    j = TemporalJitter(JITTER_TAA_8PHASE, 128, 128)
+    vp = np.eye(4, dtype=np.float32)
+    ms = [j.step(vp) for _ in range(9)]
+    # 8-phase: frame 0 and frame 8 share the jitter offset.
+    assert np.allclose(ms[0], ms[8])
+    assert not np.allclose(ms[0], ms[1])
+    # Jitter magnitude is subpixel: |clip offset| <= 2*pixel.
+    assert abs(ms[0][0, 3]) <= 2.0 * 2.0 / 128
+
+
+def test_taa_resolve_static_convergence():
+    # Static scene + identity reprojection: the resolve must converge
+    # toward the (constant) current frame and stay stable.
+    H = W = 16
+    cur = jnp.asarray(np.full((H, W, 3), 0.25, np.float32))
+    depth = jnp.full((H, W), 0.5)
+    remap = np.array([[0.5, 0, 0, 0.5], [0, 0.5, 0, 0.5],
+                      [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    reproj = jnp.asarray(remap)
+    hist = jnp.zeros((H, W, 3))
+    for _ in range(8):
+        out, hist = taa_resolve(cur, hist, depth, reproj, W, H)
+    assert np.allclose(np.asarray(out), 0.25, atol=2e-3)
+
+
+def test_taa_clamps_ghosting():
+    # History wildly different from the neighborhood must be clamped:
+    # output stays near current, not near stale history.
+    H = W = 8
+    cur = jnp.full((H, W, 3), 0.5)
+    bogus_hist = hdr_to_taa(jnp.full((H, W, 3), 40.0))
+    depth = jnp.full((H, W), 0.5)
+    remap = jnp.asarray(np.array([[0.5, 0, 0, 0.5], [0, 0.5, 0, 0.5],
+                                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32))
+    out, _ = taa_resolve(cur, bogus_hist, depth, remap, W, H)
+    assert np.allclose(np.asarray(out), 0.5, atol=0.05)
+
+
+def test_fxaa_smooths_staircase():
+    # A hard diagonal staircase edge: FXAA must reduce the luma jumps
+    # along the edge without touching flat regions.
+    H = W = 32
+    img = np.zeros((H, W, 3), np.float32)
+    for y in range(H):
+        img[y, : y] = 1.0       # diagonal step edge
+    out = np.asarray(fxaa(jnp.asarray(img), W, H))
+    # Flat interior pixels unchanged.
+    assert np.allclose(out[28, 2], img[28, 2])
+    assert np.allclose(out[2, 28], img[2, 28])
+    # Edge pixels got intermediate values somewhere along the staircase.
+    edge_vals = np.array([out[y, y, 0] for y in range(4, H - 4)])
+    assert ((edge_vals > 0.05) & (edge_vals < 0.95)).any()
+    assert not np.isnan(out).any()

@@ -1,0 +1,92 @@
+"""Binned (Pallas) rasterizer vs the reference chunked-scan rasterizer:
+bit-identical visibility buffers on random scenes (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from granite_tpu.math import perspective, look_at_matrix
+from granite_tpu.ops.raster import CULL_NONE, CULL_BACK, setup_triangles, \
+    rasterize
+from granite_tpu.ops.raster_binned import bin_triangles, rasterize_binned
+
+W, H = 256, 96  # 2x3 tiles of 128x32
+
+
+def random_scene(n_tris=60, seed=0, z_range=(0.1, 0.9)):
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(-1.1, 1.1, (n_tris, 1, 2))
+    offs = rng.uniform(-0.25, 0.25, (n_tris, 3, 2))
+    xy = (centers + offs).reshape(-1, 2)
+    z = np.repeat(rng.uniform(*z_range, n_tris), 3)
+    clip = np.concatenate([xy, z[:, None], np.ones((n_tris * 3, 1))],
+                          axis=1).astype(np.float32)
+    idx = np.arange(n_tris * 3, dtype=np.int32).reshape(-1, 3)
+    return jnp.asarray(clip), jnp.asarray(idx)
+
+
+def test_binned_matches_reference_small():
+    clip, idx = random_scene(40, seed=1)
+    setup = setup_triangles(clip, idx, W, H, cull_mode=CULL_NONE)
+    d_ref, t_ref = rasterize(setup, W, H)
+    d_bin, t_bin = rasterize_binned(setup, W, H, interpret=True)
+    assert np.array_equal(np.asarray(t_ref), np.asarray(t_bin))
+    assert np.allclose(np.asarray(d_ref), np.asarray(d_bin), atol=0.0)
+
+
+def test_binned_matches_reference_perspective():
+    rng = np.random.RandomState(3)
+    n = 50
+    pts = rng.uniform(-3, 3, (n * 3, 3)).astype(np.float32)
+    pts[:, 2] = -rng.uniform(1.0, 20.0, n * 3)
+    proj = perspective(np.pi / 2, W / H, 0.1, 100.0)
+    clip = (proj @ np.concatenate(
+        [pts, np.ones((n * 3, 1), np.float32)], 1).T).T
+    idx = np.arange(n * 3, dtype=np.int32).reshape(-1, 3)
+    setup = setup_triangles(jnp.asarray(clip), jnp.asarray(idx), W, H,
+                            cull_mode=CULL_BACK)
+    d_ref, t_ref = rasterize(setup, W, H)
+    d_bin, t_bin = rasterize_binned(setup, W, H, interpret=True)
+    assert np.array_equal(np.asarray(t_ref), np.asarray(t_bin))
+    assert np.allclose(np.asarray(d_ref), np.asarray(d_bin))
+
+
+def test_huge_triangle_path():
+    # One screen-filling triangle on a big tile grid (8x8 tiles) exceeds
+    # the 2x4-tile emit window and must take the huge-list path.
+    bw, bh = 1024, 256
+    clip = jnp.asarray(np.array([
+        [-4, -4, 0.5, 1], [4, -4, 0.5, 1], [0, 4, 0.5, 1]], np.float32))
+    idx = jnp.asarray(np.array([[0, 1, 2]], np.int32))
+    setup = setup_triangles(clip, idx, bw, bh, cull_mode=CULL_NONE)
+    packets, starts, huge_packets, huge_count = bin_triangles(setup, bw, bh)
+    assert int(huge_count) == 1
+    assert int(np.asarray(starts)[-1]) == 0      # no small entries
+    d_ref, t_ref = rasterize(setup, bw, bh)
+    d_bin, t_bin = rasterize_binned(setup, bw, bh, interpret=True)
+    assert np.array_equal(np.asarray(t_ref), np.asarray(t_bin))
+
+
+def test_binning_ranges():
+    # A triangle fully inside one tile must land only in that tile's range.
+    clip = jnp.asarray(np.array([
+        # tile (ty=1, tx=1): pixels x 128..255, y 32..63 -> ndc
+        [0.05, -0.2, 0.5, 1], [0.4, -0.2, 0.5, 1], [0.2, -0.05, 0.5, 1],
+    ], np.float32))
+    idx = jnp.asarray(np.array([[0, 1, 2]], np.int32))
+    setup = setup_triangles(clip, idx, W, H, cull_mode=CULL_NONE)
+    packets, starts, _, huge_count = bin_triangles(setup, W, H)
+    s = np.asarray(starts)
+    counts = np.diff(s)
+    tiles_x = W // 128
+    assert int(huge_count) == 0
+    assert counts.sum() >= 1
+    # All entries in a single tile.
+    assert (counts > 0).sum() == 1
+
+
+def test_empty_scene():
+    clip = jnp.zeros((3, 4), jnp.float32)
+    idx = jnp.asarray(np.array([[0, 1, 2]], np.int32))
+    setup = setup_triangles(clip, idx, W, H, cull_mode=CULL_NONE)
+    d, t = rasterize_binned(setup, W, H, interpret=True)
+    assert not (np.asarray(t) >= 0).any()
