@@ -194,6 +194,12 @@ class SceneViewerApplication(Application):
             self._add_terrain(info)
         self.scene = self._build_runtime_scene(info)
         self.packed: PackedScene = pack_scene(info)
+        from ..scene.animation import AnimationSystem
+        self.animation_system = AnimationSystem(self.scene)
+        for anim in info.animations:
+            self.animation_system.start_animation(anim)
+        if info.animations:
+            LOGI("Playing %d animations", len(info.animations))
         if self.ocean is not None:
             # per-vertex mask of the ocean grid + exclude from shadow casting
             self._ocean_vmask = jnp.asarray(
@@ -497,7 +503,8 @@ class SceneViewerApplication(Application):
         depth = render_shadow_map(
             self.packed, ctx.input("world"),
             ctx.params["shadow_vp"], size,
-            ctx.params["shadow_object_mask"])
+            ctx.params["shadow_object_mask"],
+            skin_palette=ctx.params.get("skin_palette"))
         return {"shadow-depth": depth}
 
     def _raster_surface(self, ctx):
@@ -510,7 +517,8 @@ class SceneViewerApplication(Application):
                 pos, nrm, vmask, maps)
         clip, wpos, wnrm, wtan = transform_vertices(
             self.packed, ctx.input("world"), ctx.input("normal_mats"),
-            p["view_proj"], displace_fn=displace_fn)
+            p["view_proj"], displace_fn=displace_fn,
+            skin_palette=p.get("skin_palette"))
         setup, depth, tri = rasterize_scene(
             self.packed, clip, p["object_mask"], self._rw, self._rh)
         surf = surface_attributes(
@@ -645,8 +653,20 @@ class SceneViewerApplication(Application):
                            np.asarray(inner), np.asarray(outer),
                            np.asarray(spot), capacity=self.LIGHT_CAPACITY)
 
+    def _skin_palette(self):
+        """Per-frame joint matrices: world[joint] @ inverse_bind, all
+        skins concatenated (SkinnedMesh::get_world_transforms analogue)."""
+        if not self.info.skins:
+            return None
+        mats = []
+        for sk in self.info.skins:
+            jw = self.scene.world[sk.joints]           # (J, 4, 4)
+            mats.append(np.matmul(jw, sk.inverse_bind))
+        return jnp.asarray(np.concatenate(mats).astype(np.float32))
+
     def render_frame(self, frame_time: float, elapsed_time: float):
         scene = self.scene
+        self.animation_system.animate(elapsed_time)
         scene.update_transform_tree()
         self.context.set_camera(self.camera)
         self.context.set_lighting(self._sun_dir, self._sun_color)
@@ -679,9 +699,11 @@ class SceneViewerApplication(Application):
         nm = np.linalg.inv(world[:, :3, :3]).transpose(0, 2, 1).astype(
             np.float32)
 
+        skin_palette = self._skin_palette()
         params = {
             "external": {"world": jnp.asarray(world),
                          "normal_mats": jnp.asarray(nm)},
+            "skin_palette": skin_palette,
             "view_proj": jnp.asarray(self.context.view_projection),
             "view": jnp.asarray(self.context.view),
             "camera_pos": jnp.asarray(self.context.camera_pos),

@@ -61,6 +61,12 @@ class PackedScene:
     obj_flags: np.ndarray       # (O,) material-derived renderable flags
     num_objects: int
     num_nodes: int
+    # skinning (SkinnedMesh path, renderer/mesh.hpp): vertices
+    # [num_static_verts, V) use the joint-matrix palette instead of the
+    # node transform.
+    num_static_verts: int = 0
+    v_joints: Optional[jax.Array] = None   # (Vskin, 4) palette indices
+    v_weights: Optional[jax.Array] = None  # (Vskin, 4) f32
     scene_aabb_min: np.ndarray = None
     scene_aabb_max: np.ndarray = None
 
@@ -108,38 +114,65 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
     pos_l, nrm_l, uv_l, tan_l, vnode_l = [], [], [], [], []
     idx_l, trimat_l, triobj_l = [], [], []
     obj_node, obj_min, obj_max, obj_flags = [], [], [], []
+    joints_l, weights_l = [], []
     v_off = 0
     num_nodes = len(info.nodes)
 
     from ..scene.scene import (
-        RENDERABLE_CASTS_SHADOW, RENDERABLE_OPAQUE, RENDERABLE_TRANSPARENT,
+        RENDERABLE_CASTS_SHADOW, RENDERABLE_DYNAMIC, RENDERABLE_OPAQUE,
+        RENDERABLE_TRANSPARENT,
     )
 
+    # Skin palette layout: skins packed back to back, joint j of skin s
+    # lives at palette index skin_offsets[s] + j.
+    skin_offsets = []
+    off = 0
+    for sk in info.skins:
+        skin_offsets.append(off)
+        off += len(sk.joints)
+
+    # Static instances first, skinned last (vertex-range split).
+    instances = []
     for node_idx, nd in enumerate(info.nodes):
-        rt_node = node_of_instance[node_idx] if node_of_instance else node_idx
         for mesh_idx in nd.meshes:
             md = info.meshes[mesh_idx]
-            v = len(md.positions)
-            t = len(md.indices)
-            pos_l.append(md.positions)
-            nrm_l.append(md.normals)
-            uv_l.append(md.uvs)
-            tan_l.append(md.tangents)
-            vnode_l.append(np.full(v, rt_node, np.int32))
-            idx_l.append(md.indices + v_off)
-            mat = max(md.material, 0)
-            trimat_l.append(np.full(t, mat, np.int32))
-            obj_id = len(obj_node)
-            triobj_l.append(np.full(t, obj_id, np.int32))
-            obj_node.append(rt_node)
-            obj_min.append(md.aabb_min)
-            obj_max.append(md.aabb_max)
-            mode = info.materials[mat].alpha_mode if info.materials else 0
-            flags = RENDERABLE_CASTS_SHADOW | (
-                RENDERABLE_TRANSPARENT if mode == ALPHA_MODE_BLEND
-                else RENDERABLE_OPAQUE)
-            obj_flags.append(flags)
-            v_off += v
+            skinned = nd.skin is not None and md.joints is not None
+            instances.append((skinned, node_idx, md, nd))
+    instances.sort(key=lambda x: x[0])
+
+    num_static_verts = 0
+    for skinned, node_idx, md, nd in instances:
+        rt_node = node_of_instance[node_idx] if node_of_instance else node_idx
+        v = len(md.positions)
+        t = len(md.indices)
+        pos_l.append(md.positions)
+        nrm_l.append(md.normals)
+        uv_l.append(md.uvs)
+        tan_l.append(md.tangents)
+        vnode_l.append(np.full(v, rt_node, np.int32))
+        idx_l.append(md.indices + v_off)
+        mat = max(md.material, 0)
+        trimat_l.append(np.full(t, mat, np.int32))
+        obj_id = len(obj_node)
+        triobj_l.append(np.full(t, obj_id, np.int32))
+        obj_node.append(rt_node)
+        obj_min.append(md.aabb_min)
+        obj_max.append(md.aabb_max)
+        mode = info.materials[mat].alpha_mode if info.materials else 0
+        flags = RENDERABLE_CASTS_SHADOW | (
+            RENDERABLE_TRANSPARENT if mode == ALPHA_MODE_BLEND
+            else RENDERABLE_OPAQUE)
+        if skinned:
+            flags |= RENDERABLE_DYNAMIC
+            joints_l.append(md.joints + skin_offsets[nd.skin])
+            w = md.weights if md.weights is not None else \
+                np.tile(np.array([1, 0, 0, 0], np.float32), (v, 1))
+            ws = w.sum(axis=1, keepdims=True)
+            weights_l.append((w / np.maximum(ws, 1e-9)).astype(np.float32))
+        else:
+            num_static_verts += v
+        obj_flags.append(flags)
+        v_off += v
 
     if not pos_l:
         raise ValueError("scene has no mesh instances")
@@ -169,6 +202,11 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
         obj_flags=np.asarray(obj_flags, np.int32),
         num_objects=len(obj_node),
         num_nodes=num_nodes,
+        num_static_verts=num_static_verts,
+        v_joints=(jnp.asarray(np.concatenate(joints_l))
+                  if joints_l else None),
+        v_weights=(jnp.asarray(np.concatenate(weights_l))
+                   if weights_l else None),
     )
     LOGI("PackedScene: %d verts, %d tris, %d objects, %d materials, "
          "%d textures", len(positions), len(ps.indices), ps.num_objects,
@@ -181,7 +219,7 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
 # ---------------------------------------------------------------------------
 
 def transform_vertices(scene: PackedScene, world, normal_mats, view_proj,
-                       displace_fn=None):
+                       displace_fn=None, skin_palette=None):
     """Per-vertex node-matrix gather + transform.
 
     world: (N, 4, 4); normal_mats: (N, 3, 3); view_proj: (4, 4).
@@ -199,6 +237,20 @@ def transform_vertices(scene: PackedScene, world, normal_mats, view_proj,
     world_pos = jnp.einsum("vij,vj->vi", wm[:, :3, :3], p) + wm[:, :3, 3]
     nm = normal_mats[scene.v_node]
     world_normal = jnp.einsum("vij,vj->vi", nm, scene.normals)
+    if scene.v_joints is not None and skin_palette is not None:
+        # Skinned tail segment: blend joint matrices from the palette
+        # (SkinnedMesh path; skin matrices already map bind -> world).
+        vs = scene.num_static_verts
+        sp = scene.positions[vs:]
+        sn = scene.normals[vs:]
+        pm = skin_palette[scene.v_joints]              # (Vsk, 4, 4, 4)
+        w = scene.v_weights[..., None, None]
+        blended = (pm * w).sum(axis=1)                 # (Vsk, 4, 4)
+        spos = jnp.einsum("vij,vj->vi", blended[:, :3, :3], sp) \
+            + blended[:, :3, 3]
+        snrm = jnp.einsum("vij,vj->vi", blended[:, :3, :3], sn)
+        world_pos = jnp.concatenate([world_pos[:vs], spos])
+        world_normal = jnp.concatenate([world_normal[:vs], snrm])
     if displace_fn is not None:
         world_pos, world_normal = displace_fn(world_pos, world_normal)
     clip = world_pos @ view_proj[:3, :3].T + view_proj[:3, 3]
@@ -337,15 +389,29 @@ def _normalize(v, eps=1e-20):
     return v / jnp.sqrt(jnp.maximum((v * v).sum(-1), eps))[..., None]
 
 
+def world_positions(scene: PackedScene, world, skin_palette=None):
+    """World-space vertex positions (node transform + optional skinning)."""
+    wm = world[scene.v_node]
+    p = scene.positions
+    world_pos = jnp.einsum("vij,vj->vi", wm[:, :3, :3], p) + wm[:, :3, 3]
+    if scene.v_joints is not None and skin_palette is not None:
+        vs = scene.num_static_verts
+        pm = skin_palette[scene.v_joints]
+        w = scene.v_weights[..., None, None]
+        blended = (pm * w).sum(axis=1)
+        spos = jnp.einsum("vij,vj->vi", blended[:, :3, :3],
+                          scene.positions[vs:]) + blended[:, :3, 3]
+        world_pos = jnp.concatenate([world_pos[:vs], spos])
+    return world_pos
+
+
 def render_shadow_map(scene: PackedScene, world, light_vp, size: int,
-                      object_mask):
+                      object_mask, skin_palette=None):
     """Depth-only raster from the light's view (the shadow-map pass;
     assets/shaders/static_mesh_depth.vert analogue).  Front faces kept —
     the reference renders shadow maps without cull flip, relying on depth
     bias in the compare."""
-    wm = world[scene.v_node]
-    p = scene.positions
-    world_pos = jnp.einsum("vij,vj->vi", wm[:, :3, :3], p) + wm[:, :3, 3]
+    world_pos = world_positions(scene, world, skin_palette)
     lv = jnp.asarray(light_vp)
     clip = world_pos @ lv[:3, :3].T + lv[:3, 3]
     clip_w = world_pos @ lv[3, :3].T + lv[3, 3]

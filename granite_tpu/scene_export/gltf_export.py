@@ -164,6 +164,8 @@ def export_gltf(scene: SceneInfo, path: str) -> None:
             n["mesh"] = int(nd.meshes[0])  # 1 primitive per exported mesh
         if nd.camera is not None:
             n["camera"] = int(nd.camera)
+        if nd.skin is not None:
+            n["skin"] = int(nd.skin)
         if nd.light is not None:
             n["extensions"] = {"KHR_lights_punctual": {
                 "light": int(nd.light)}}
@@ -171,6 +173,49 @@ def export_gltf(scene: SceneInfo, path: str) -> None:
     doc["nodes"] = nodes
     doc["scenes"] = [{"nodes": list(map(int, scene.roots))}]
     doc["scene"] = 0
+
+    anims = []
+    for ad in scene.animations:
+        samplers = []
+        channels = []
+        for ch in ad.channels:
+            times = np.asarray(ch["times"], np.float32).reshape(-1, 1)
+            vals = np.asarray(ch["values"], np.float32)
+            if ch["path"] == "rotation":
+                if ch["interp"] == "CUBICSPLINE":
+                    vals = vals[..., [1, 2, 3, 0]].reshape(len(times), -1)
+                else:
+                    vals = vals[:, [1, 2, 3, 0]]   # wxyz -> xyzw
+            elif ch["interp"] == "CUBICSPLINE":
+                vals = vals.reshape(len(times), -1)
+            comps = vals.shape[1] if ch["interp"] != "CUBICSPLINE" else \
+                vals.shape[1] // 3
+            type_str = {1: "SCALAR", 2: "VEC2", 3: "VEC3",
+                        4: "VEC4"}[comps]
+            t_acc = w.add(times, None, 5126, "SCALAR")
+            w.accessors[t_acc]["min"] = [float(times.min())]
+            w.accessors[t_acc]["max"] = [float(times.max())]
+            v_acc = w.add(vals.reshape(-1, comps), None, 5126, type_str)
+            samplers.append({"input": t_acc, "output": v_acc,
+                             "interpolation": ch["interp"]})
+            channels.append({"sampler": len(samplers) - 1,
+                             "target": {"node": int(ch["node"]),
+                                        "path": ch["path"]}})
+        anims.append({"name": ad.name, "samplers": samplers,
+                      "channels": channels})
+    if anims:
+        doc["animations"] = anims
+
+    skins = []
+    for sk in scene.skins:
+        ibm = sk.inverse_bind.transpose(0, 2, 1).reshape(-1, 16)
+        entry = {"joints": [int(j) for j in sk.joints],
+                 "inverseBindMatrices": w.add(ibm, None, 5126, "MAT4")}
+        if sk.skeleton is not None:
+            entry["skeleton"] = int(sk.skeleton)
+        skins.append(entry)
+    if skins:
+        doc["skins"] = skins
 
     doc["bufferViews"] = w.views
     doc["accessors"] = w.accessors
