@@ -1,8 +1,12 @@
 """Driver benchmark: prints ONE JSON line with the headline metric.
 
-Current flagship workload: the most advanced config available this round.
-The metric is ms/frame; `vs_baseline` is frame_time / 10ms — the fraction of
-the BASELINE.md budget used (<1.0 means beating the target).
+Workload = BASELINE config 3: the Sponza-class synthetic scene (~260k
+tris, see granite_tpu/app/bench_scene.py) through the full deferred HDR
+graph (shadow 2048^2, G-buffer, clustered lights, bloom pyramid, async
+luminance exposure, filmic tonemap) at 1080p on the real chip.
+
+The metric is ms/frame; `vs_baseline` is frame_time / 10ms — the fraction
+of the BASELINE.md budget used (<1.0 means beating the target).
 """
 
 from __future__ import annotations
@@ -10,23 +14,34 @@ from __future__ import annotations
 import json
 import sys
 import time
+import types
 
 
-def bench_config1(width=1280, height=720, frames=20):
-    import jax.numpy as jnp
-    from granite_tpu.app.triangle_demo import TriangleApplication
-    app = TriangleApplication()
+def bench_deferred_hdr(width=1920, height=1080, frames=12):
+    import json as _json
+    import tempfile
+    cfg = {"renderer": "deferred", "hdrBloom": True,
+           "shadowMapResolution": 2048}
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        _json.dump(cfg, f)
+        cfg_path = f.name
+    from granite_tpu.app.scene_viewer import SceneViewerApplication
+    args = types.SimpleNamespace(scene=None, config=cfg_path,
+                                 camera_index=-1, bench_scene=True)
+    app = SceneViewerApplication(args)
     app.swapchain_updated(width, height)
     # Warmup/compile.
     app.render_frame(1 / 60, 0.0).block_until_ready()
+    app.render_frame(1 / 60, 1 / 60).block_until_ready()
     t0 = time.monotonic_ns()
     out = None
     for i in range(frames):
-        out = app.render_frame(1 / 60, i / 60)
+        out = app.render_frame(1 / 60, (i + 2) / 60)
     out.block_until_ready()
     dt_ms = (time.monotonic_ns() - t0) / 1e6 / frames
     return {
-        "metric": "frame_time_ms_config1_triangle_720p",
+        "metric": "frame_time_ms_deferred_hdr_sponza_class_1080p",
         "value": round(dt_ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(dt_ms / 10.0, 4),
@@ -34,7 +49,7 @@ def bench_config1(width=1280, height=720, frames=20):
 
 
 def main() -> int:
-    result = bench_config1()
+    result = bench_deferred_hdr()
     print(json.dumps(result))
     return 0
 

@@ -172,13 +172,20 @@ class SceneViewerApplication(Application):
         parser.add_argument("--config", type=str, default=None,
                             help="config.json path (reference schema)")
         parser.add_argument("--camera-index", type=int, default=-1)
+        parser.add_argument("--bench-scene", action="store_true",
+                            dest="bench_scene",
+                            help="use the Sponza-class synthetic scene")
 
     def __init__(self, args=None):
         super().__init__()
         self.config = (ViewerConfig.from_json(args.config)
                        if args and getattr(args, "config", None)
                        else ViewerConfig())
-        if args and getattr(args, "scene", None):
+        if args and getattr(args, "bench_scene", False):
+            from .bench_scene import build_bench_scene
+            info = build_bench_scene()
+            LOGI("Using Sponza-class bench scene")
+        elif args and getattr(args, "scene", None):
             from ..scene.gltf import GLTFParser
             info = GLTFParser(args.scene).get_scene()
             LOGI("Loaded scene %s", args.scene)

@@ -1,0 +1,166 @@
+"""ctypes bindings for the native host library (granite_native.cpp).
+
+Built on first use with g++ -O2 -shared; the .so is cached next to the
+source keyed by source mtime.  All entry points have pure-Python
+behavioral twins in tests (decode correctness is validated against
+straightforward numpy reference decoders).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "granite_native.cpp")
+_SO = os.path.join(_DIR, "libgranite_native.so")
+
+_lib = None
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
+             "-o", _SO], check=True)
+    lib = ctypes.CDLL(_SO)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    for name in ("decode_bc1", "decode_bc3", "decode_bc4", "decode_bc5",
+                 "encode_bc1"):
+        fn = getattr(lib, name)
+        fn.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int]
+        fn.restype = None
+    lib.meshlet_encode.argtypes = [f32p, ctypes.c_int, i32p, ctypes.c_int,
+                                   u8p, ctypes.c_int,
+                                   ctypes.POINTER(ctypes.c_int),
+                                   ctypes.POINTER(ctypes.c_int)]
+    lib.meshlet_encode.restype = ctypes.c_int
+    lib.meshlet_decode.argtypes = [u8p, ctypes.c_int, ctypes.c_int, f32p,
+                                   i32p, ctypes.POINTER(ctypes.c_int),
+                                   ctypes.POINTER(ctypes.c_int)]
+    lib.meshlet_decode.restype = ctypes.c_int
+    lib.radix_sort_u64.argtypes = [u64p, u32p, ctypes.c_int]
+    lib.radix_sort_u64.restype = None
+    lib.gtpx_write_header.argtypes = [u8p] + [ctypes.c_uint32] * 5
+    lib.gtpx_write_header.restype = ctypes.c_int
+    lib.gtpx_read_header.argtypes = [u8p, ctypes.c_int] + [u32p] * 5
+    lib.gtpx_read_header.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def _u8(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def decode_blocks(fmt: str, data: np.ndarray, width: int,
+                  height: int) -> np.ndarray:
+    """Decode a BCn-compressed level to (H, W, 4) uint8."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty((height, width, 4), np.uint8)
+    getattr(lib, f"decode_{fmt}")(_u8(data), _u8(out), width, height)
+    return out
+
+
+def encode_bc1(rgba: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    h, w = rgba.shape[:2]
+    rgba = np.ascontiguousarray(rgba, np.uint8)
+    out = np.empty(((h + 3) // 4) * ((w + 3) // 4) * 8, np.uint8)
+    lib.encode_bc1(_u8(rgba), _u8(out), w, h)
+    return out
+
+
+def meshlet_encode(positions: np.ndarray, indices: np.ndarray):
+    """Returns (blob bytes, num_meshlets)."""
+    lib = get_lib()
+    positions = np.ascontiguousarray(positions, np.float32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    nv = len(positions)
+    nt = len(indices)
+    cap = 64 + nv * 8 + nt * 16
+    out = np.empty(cap, np.uint8)
+    size = ctypes.c_int()
+    meshlets = ctypes.c_int()
+    rc = lib.meshlet_encode(
+        positions.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nv,
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), nt,
+        _u8(out), cap, ctypes.byref(size), ctypes.byref(meshlets))
+    if rc != 0:
+        raise RuntimeError(f"meshlet_encode failed rc={rc}")
+    return bytes(out[:size.value]), meshlets.value
+
+
+def meshlet_decode(blob: bytes, num_meshlets: int, max_vertices: int,
+                   max_triangles: int):
+    """Returns (positions (V,3) f32, indices (T,3) i32)."""
+    lib = get_lib()
+    data = np.frombuffer(blob, np.uint8)
+    pos = np.empty((max_vertices, 3), np.float32)
+    idx = np.empty((max_triangles, 3), np.int32)
+    nv = ctypes.c_int()
+    nt = ctypes.c_int()
+    rc = lib.meshlet_decode(
+        _u8(data), len(data), num_meshlets,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(nv), ctypes.byref(nt))
+    if rc != 0:
+        raise RuntimeError(f"meshlet_decode failed rc={rc}")
+    return pos[:nv.value].copy(), idx[:nt.value].copy()
+
+
+def radix_sort_u64(keys: np.ndarray) -> np.ndarray:
+    """Returns the ascending-order permutation (uint32)."""
+    lib = get_lib()
+    keys = np.ascontiguousarray(keys, np.uint64)
+    order = np.empty(len(keys), np.uint32)
+    lib.radix_sort_u64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(keys))
+    return order
+
+
+GTPX_FORMATS = {"rgba8": 0, "bc1": 1, "bc3": 3, "bc4": 4, "bc5": 5}
+
+
+def gtpx_save(path: str, payload: bytes, fmt: str, width: int, height: int,
+              levels: int = 1, flags: int = 0) -> None:
+    lib = get_lib()
+    hdr = np.zeros(32, np.uint8)
+    n = lib.gtpx_write_header(_u8(hdr), GTPX_FORMATS[fmt], width, height,
+                              levels, flags)
+    with open(path, "wb") as f:
+        f.write(bytes(hdr[:n]))
+        f.write(payload)
+
+
+def gtpx_load(path: str):
+    """Returns (format_name, width, height, levels, flags, payload)."""
+    lib = get_lib()
+    data = np.fromfile(path, np.uint8)
+    import ctypes as ct
+    f = ct.c_uint32()
+    w = ct.c_uint32()
+    h = ct.c_uint32()
+    l = ct.c_uint32()
+    fl = ct.c_uint32()
+    n = lib.gtpx_read_header(_u8(data), len(data), ct.byref(f), ct.byref(w),
+                             ct.byref(h), ct.byref(l), ct.byref(fl))
+    if n < 0:
+        raise ValueError(f"bad GTPX file: {path} (rc={n})")
+    names = {v: k for k, v in GTPX_FORMATS.items()}
+    return (names[f.value], w.value, h.value, l.value, fl.value,
+            bytes(data[n:]))

@@ -84,42 +84,58 @@ def setup_triangles(clip: jax.Array, indices: jax.Array, width: int,
 
     clip:    (V, 4) clip-space positions (post view-proj, pre divide).
     indices: (T, 3) int32 vertex indices.
+
+    TPU layout note: all math runs on flat (T,) component arrays.  Arrays
+    with a tiny minor dimension ((T, 3) etc.) are padded to 128 lanes on
+    TPU and would run the VPU at ~2% utilization; the component form is
+    fully packed.  One gather + transpose at entry, a few transposes to
+    assemble the output structs at exit.
     """
     tri = clip[indices]                       # (T, 3, 4) gather
-    x, y, z, w = tri[..., 0], tri[..., 1], tri[..., 2], tri[..., 3]
+    comp = tri.reshape(-1, 12).T              # (12, T): per-component rows
+    xs = [comp[0], comp[4], comp[8]]
+    ys = [comp[1], comp[5], comp[9]]
+    zs = [comp[2], comp[6], comp[10]]
+    ws = [comp[3], comp[7], comp[11]]
 
     # Fold the viewport transform into homogeneous coords:
     #   px = ((x/w)*0.5 + 0.5) * width  =>  sx = (0.5*x + 0.5*w) * width
-    sx = (0.5 * x + 0.5 * w) * width
-    sy = (0.5 * y + 0.5 * w) * height
+    sx = [(0.5 * xs[i] + 0.5 * ws[i]) * width for i in range(3)]
+    sy = [(0.5 * ys[i] + 0.5 * ws[i]) * height for i in range(3)]
 
     # Translate each triangle to its projected centroid (rounded) before
     # building edge equations: homogeneous translation by (ox, oy) is
-    # sx' = sx - ox*w.  This is what keeps slivers numerically sane.
-    w_ok = w > 0
-    any_w_pos = w_ok.any(axis=1)
-    w_div = jnp.where(jnp.abs(w) < 1e-20, 1e-20, w)
-    proj_x = jnp.where(w_ok, sx / w_div, 0.0)
-    proj_y = jnp.where(w_ok, sy / w_div, 0.0)
-    n_ok = jnp.maximum(w_ok.sum(axis=1), 1)
-    ox = jnp.round(proj_x.sum(axis=1) / n_ok)
-    oy = jnp.round(proj_y.sum(axis=1) / n_ok)
-    sx = sx - ox[:, None] * w
-    sy = sy - oy[:, None] * w
-    m = jnp.stack([sx, sy, w], axis=-1)       # (T, 3, 3) rows = vertices
+    # sx' = sx - ox*w.  This keeps slivers numerically sane.
+    w_ok = [w > 0 for w in ws]
+    any_w_pos = w_ok[0] | w_ok[1] | w_ok[2]
+    px = []
+    py = []
+    for i in range(3):
+        wd = jnp.where(jnp.abs(ws[i]) < 1e-20, 1e-20, ws[i])
+        px.append(jnp.where(w_ok[i], sx[i] / wd, 0.0))
+        py.append(jnp.where(w_ok[i], sy[i] / wd, 0.0))
+    n_ok = jnp.maximum(sum(w.astype(jnp.int32) for w in w_ok), 1)
+    ox = jnp.round((px[0] + px[1] + px[2]) / n_ok)
+    oy = jnp.round((py[0] + py[1] + py[2]) / n_ok)
+    sx = [sx[i] - ox * ws[i] for i in range(3)]
+    sy = [sy[i] - oy * ws[i] for i in range(3)]
 
-    # Adjugate rows: adj[i] = cross(m[j], m[k]) for (i,j,k) cyclic.
-    a0 = jnp.cross(m[:, 1], m[:, 2])
-    a1 = jnp.cross(m[:, 2], m[:, 0])
-    a2 = jnp.cross(m[:, 0], m[:, 1])
-    adj = jnp.stack([a0, a1, a2], axis=1)     # (T, 3, 3)
-    det = jnp.einsum("ti,ti->t", m[:, 0], a0)  # det(M)
+    # Adjugate rows: adj[i] = cross(m[j], m[k]) for (i,j,k) cyclic, with
+    # m[i] = (sx_i, sy_i, w_i).  Componentwise cross products.
+    adj_rows = []
+    for i in range(3):
+        j, k = (i + 1) % 3, (i + 2) % 3
+        ax = sy[j] * ws[k] - ws[j] * sy[k]
+        ay = ws[j] * sx[k] - sx[j] * ws[k]
+        az = sx[j] * sy[k] - sy[j] * sx[k]
+        adj_rows.append([ax, ay, az])
+    det = (sx[0] * adj_rows[0][0] + sy[0] * adj_rows[0][1]
+           + ws[0] * adj_rows[0][2])
 
     # Facing: with Y-down screen coords and CCW front faces (Vulkan default
     # VK_FRONT_FACE_COUNTER_CLOCKWISE), front-facing det < 0.  (A CCW
     # triangle in Y-up NDC becomes CW in Y-down pixel space.)
-    front_det_negative = front_face_ccw
-    is_front = (det < 0) if front_det_negative else (det > 0)
+    is_front = (det < 0) if front_face_ccw else (det > 0)
     if cull_mode == CULL_BACK:
         facing_ok = is_front
     elif cull_mode == CULL_FRONT:
@@ -128,65 +144,68 @@ def setup_triangles(clip: jax.Array, indices: jax.Array, width: int,
         facing_ok = det != 0
 
     # Orient edge functions so interior is positive regardless of winding.
-    sgn = jnp.where(det < 0, -1.0, 1.0)[:, None, None]
-    adj = adj * sgn
+    sgn = jnp.where(det < 0, -1.0, 1.0)
+    adj_rows = [[c * sgn for c in row] for row in adj_rows]
 
     valid = facing_ok & (det != 0) & any_w_pos
 
-    # z_ndc plane: z/w is linear in screen space with coeffs z_vec @ adj / det
-    # (adj already sign-flipped; fold the same sign into det).
-    det_s = jnp.abs(det)
-    zplane = jnp.einsum("tv,tvi->ti", z, adj) / det_s[:, None]
+    # z_ndc plane: z/w is linear in screen space with coeffs z_vec @ adj
+    # / det (adj already sign-flipped; fold the same sign into det).
+    inv_det = 1.0 / jnp.where(det == 0, 1.0, jnp.abs(det))
+    zpl = [(zs[0] * adj_rows[0][c] + zs[1] * adj_rows[1][c]
+            + zs[2] * adj_rows[2][c]) * inv_det for c in range(3)]
 
     # --- canonical per-edge coverage functions (watertight, see class doc).
-    crosses = (w <= 0).any(axis=1)
-    edge_rows = []
-    orient_ok = jnp.ones(indices.shape[0], bool)
+    crosses = ~(w_ok[0] & w_ok[1] & w_ok[2])
+    idx_t = indices.T                          # (3, T)
+    edge_comp = []                             # 15 rows of (T,)
+    orient_ok = None
     for i in range(3):
         j, k = (i + 1) % 3, (i + 2) % 3
-        swap = indices[:, j] > indices[:, k]
-        pxj = jnp.where(swap, proj_x[:, k], proj_x[:, j])
-        pyj = jnp.where(swap, proj_y[:, k], proj_y[:, j])
-        qxj = jnp.where(swap, proj_x[:, j], proj_x[:, k])
-        qyj = jnp.where(swap, proj_y[:, j], proj_y[:, k])
+        swap = idx_t[j] > idx_t[k]
+        pxj = jnp.where(swap, px[k], px[j])
+        pyj = jnp.where(swap, py[k], py[j])
+        qxj = jnp.where(swap, px[j], px[k])
+        qyj = jnp.where(swap, py[j], py[k])
         A = pyj - qyj                 # = -(q.y - p.y)
         B = qxj - pxj
-        ev = A * (proj_x[:, i] - pxj) + B * (proj_y[:, i] - pyj)
+        ev = A * (px[i] - pxj) + B * (py[i] - pyj)
         orient = jnp.sign(ev)
-        orient_ok = orient_ok & (crosses | (ev != 0))
-        Ao = orient * A
-        Bo = orient * B
-        # near-crossing fallback: homogeneous adjugate row.
-        row = jnp.stack([
-            jnp.where(crosses, adj[:, i, 0], Ao),
-            jnp.where(crosses, adj[:, i, 1], Bo),
-            jnp.where(crosses, adj[:, i, 2], 0.0),
-            jnp.where(crosses, ox, pxj),
-            jnp.where(crosses, oy, pyj),
-        ], axis=-1)
-        edge_rows.append(row)
-    edge = jnp.stack(edge_rows, axis=1)          # (T, 3, 5)
+        ok = crosses | (ev != 0)
+        orient_ok = ok if orient_ok is None else (orient_ok & ok)
+        edge_comp.append(jnp.where(crosses, adj_rows[i][0], orient * A))
+        edge_comp.append(jnp.where(crosses, adj_rows[i][1], orient * B))
+        edge_comp.append(jnp.where(crosses, adj_rows[i][2], 0.0))
+        edge_comp.append(jnp.where(crosses, ox, pxj))
+        edge_comp.append(jnp.where(crosses, oy, pyj))
     valid = valid & orient_ok
 
     # Conservative integer pixel bbox (absolute coords).
     # Near-plane-crossing tris: full screen.
-    x0 = jnp.clip(jnp.floor(proj_x.min(axis=1) - 0.5), 0,
-                  width).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(proj_y.min(axis=1) - 0.5), 0,
-                  height).astype(jnp.int32)
-    x1 = jnp.clip(jnp.ceil(proj_x.max(axis=1) + 0.5), 0,
-                  width).astype(jnp.int32)
-    y1 = jnp.clip(jnp.ceil(proj_y.max(axis=1) + 0.5), 0,
-                  height).astype(jnp.int32)
+    pxmin = jnp.minimum(jnp.minimum(px[0], px[1]), px[2])
+    pxmax = jnp.maximum(jnp.maximum(px[0], px[1]), px[2])
+    pymin = jnp.minimum(jnp.minimum(py[0], py[1]), py[2])
+    pymax = jnp.maximum(jnp.maximum(py[0], py[1]), py[2])
+    x0 = jnp.clip(jnp.floor(pxmin - 0.5), 0, width).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(pymin - 0.5), 0, height).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil(pxmax + 0.5), 0, width).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil(pymax + 0.5), 0, height).astype(jnp.int32)
     x0 = jnp.where(crosses, 0, x0)
     y0 = jnp.where(crosses, 0, y0)
     x1 = jnp.where(crosses, width, x1)
     y1 = jnp.where(crosses, height, y1)
     # Empty bbox for fully off-screen (unless near-crossing).
     valid = valid & (x1 > x0) & (y1 > y0)
-    bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
-    return TriangleSetup(adj=adj, zplane=zplane,
-                         offset=jnp.stack([ox, oy], axis=-1),
+
+    # Assemble output structs: (rows, T) stacks -> transpose once.
+    T_ = indices.shape[0]
+    adj = jnp.stack([c for row in adj_rows for c in row]) \
+        .T.reshape(T_, 3, 3)
+    zplane = jnp.stack(zpl).T
+    edge = jnp.stack(edge_comp).T.reshape(T_, 3, 5)
+    offset = jnp.stack([ox, oy]).T
+    bbox = jnp.stack([x0, y0, x1, y1]).T
+    return TriangleSetup(adj=adj, zplane=zplane, offset=offset,
                          edge=edge, valid=valid, bbox=bbox)
 
 

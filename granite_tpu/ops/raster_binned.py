@@ -66,24 +66,47 @@ def _build_packets(setup: TriangleSetup) -> jax.Array:
 
 
 def bin_triangles(setup: TriangleSetup, width: int, height: int,
-                  huge_cap: int = 1024):
-    """Sort-based binning.  Returns (packets_sorted (E,24), starts
-    (ntiles+1,), huge_packets (huge_cap, 24), huge_count ())."""
-    T = setup.adj.shape[0]
+                  huge_cap: int = 1024, max_visible: int | None = None):
+    """Sort-based binning.  Returns (packets_sorted (E,128), starts
+    (ntiles+1,), huge_packets (huge_cap, 128), huge_count ()).
+
+    max_visible: optional static capacity for a visibility-compaction
+    stage.  Culled scenes often keep <25% of triangles; compacting the
+    survivors first shrinks the sort and the packet gather (whose cost is
+    ~3ns/row on TPU regardless of width) by the same factor.  Triangles
+    beyond the capacity are DROPPED (set it with headroom; the scene
+    renderer exposes it as a config knob).
+    """
     tx = -(-width // TILE_W)
     ty = -(-height // TILE_H)
     ntiles = tx * ty
 
-    x0, y0, x1, y1 = (setup.bbox[:, 0], setup.bbox[:, 1],
-                      setup.bbox[:, 2], setup.bbox[:, 3])
+    bbox = setup.bbox
+    valid = setup.valid
+    packets_full = _build_packets(setup)
+    if max_visible is not None and max_visible < setup.adj.shape[0]:
+        C = max_visible
+        vpos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        sel = valid & (vpos < C)
+        dst = jnp.where(sel, vpos, C)
+        packets = jnp.zeros((C, PACKET_F32), jnp.float32) \
+            .at[dst].set(packets_full, mode="drop")
+        bbox = jnp.zeros((C, 4), jnp.int32).at[dst].set(setup.bbox,
+                                                        mode="drop")
+        valid = jnp.zeros((C,), bool).at[dst].set(sel, mode="drop")
+    else:
+        packets = packets_full
+
+    T = packets.shape[0]
+    x0, y0, x1, y1 = (bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3])
     tx0 = x0 // TILE_W
     ty0 = y0 // TILE_H
     tx1 = (x1 - 1) // TILE_W          # inclusive
     ty1 = (y1 - 1) // TILE_H
     span_w = tx1 - tx0 + 1
     span_h = ty1 - ty0 + 1
-    small = setup.valid & (span_w <= SPAN_W) & (span_h <= SPAN_H)
-    huge = setup.valid & ~small
+    small = valid & (span_w <= SPAN_W) & (span_h <= SPAN_H)
+    huge = valid & ~small
 
     # --- small: emit K_SLOTS keys per triangle -----------------------------
     slot = jnp.arange(K_SLOTS, dtype=jnp.int32)
@@ -99,7 +122,6 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     sorted_keys = keys[order]
     entry_tri = (order // K_SLOTS).astype(jnp.int32)
 
-    packets = _build_packets(setup)
     packets_sorted = packets[entry_tri]
     # Pad one DMA chunk: the kernel reads chunk-aligned ranges and may
     # touch up to CHUNK-1 rows past a tile's range end.
@@ -214,7 +236,8 @@ def _raster_tile_kernel(starts_ref, huge_count_ref,      # scalar prefetch
 
 
 def rasterize_binned(setup: TriangleSetup, width: int, height: int,
-                     huge_cap: int = 1024, interpret: bool | None = None):
+                     huge_cap: int = 1024, interpret: bool | None = None,
+                     max_visible: int | None = None):
     """Full binned rasterization.  Returns (depth (H, W), tri (H, W))."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -225,7 +248,7 @@ def rasterize_binned(setup: TriangleSetup, width: int, height: int,
     ph = ty * TILE_H
 
     packets, starts, huge_packets, huge_count = bin_triangles(
-        setup, width, height, huge_cap)
+        setup, width, height, huge_cap, max_visible=max_visible)
 
     kernel = functools.partial(_raster_tile_kernel, tiles_x=tx)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -264,13 +264,23 @@ def transform_vertices(scene: PackedScene, world, normal_mats, view_proj,
 
 
 def rasterize_scene(scene: PackedScene, clip, object_mask, width: int,
-                    height: int, cull_mode: int = R.CULL_BACK):
-    """Setup + per-object visibility + rasterize -> visibility buffer."""
+                    height: int, cull_mode: int = R.CULL_BACK,
+                    use_binned: Optional[bool] = None):
+    """Setup + per-object visibility + rasterize -> visibility buffer.
+
+    use_binned: None = auto (binned Pallas path on TPU, chunked-scan on
+    CPU where interpret-mode Pallas would be slower than the scan)."""
     setup = R.setup_triangles(clip, scene.indices, width, height,
                               cull_mode=cull_mode)
     tri_visible = object_mask[scene.tri_object]
     setup = setup._replace(valid=setup.valid & tri_visible)
-    depth, tri = R.rasterize(setup, width, height)
+    if use_binned is None:
+        use_binned = jax.default_backend() != "cpu"
+    if use_binned:
+        from .raster_dispatch import rasterize_binned_checked
+        depth, tri = rasterize_binned_checked(setup, width, height)
+    else:
+        depth, tri = R.rasterize(setup, width, height)
     return setup, depth, tri
 
 

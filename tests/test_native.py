@@ -1,0 +1,124 @@
+"""Native library tests (texture_decoder_test.cpp + meshopt_sandbox.cpp
+analogues): BCn decode vs independent numpy reference, BC1 encode/decode
+round-trip quality, meshlet round-trip, radix sort, GTPX container."""
+
+import numpy as np
+import pytest
+
+from granite_tpu.native import (
+    decode_blocks, encode_bc1, get_lib, gtpx_load, gtpx_save,
+    meshlet_decode, meshlet_encode, radix_sort_u64,
+)
+
+
+def _ref_decode_bc1_block(block):
+    """Independent numpy BC1 reference (spec-derived)."""
+    c0 = int(block[0]) | (int(block[1]) << 8)
+    c1 = int(block[2]) | (int(block[3]) << 8)
+    bits = int.from_bytes(bytes(block[4:8]), "little")
+
+    def expand(c):
+        return np.array([(c >> 11 & 31) * 255 // 31,
+                         (c >> 5 & 63) * 255 // 63,
+                         (c & 31) * 255 // 31, 255], np.int32)
+    p = [expand(c0), expand(c1)]
+    if c0 > c1:
+        p.append((2 * p[0] + p[1]) // 3)
+        p.append((p[0] + 2 * p[1]) // 3)
+        p[2][3] = p[3][3] = 255
+    else:
+        p.append((p[0] + p[1]) // 2)
+        p.append(np.zeros(4, np.int32))
+        p[2][3] = 255
+    out = np.zeros((4, 4, 4), np.uint8)
+    for i in range(16):
+        out[i // 4, i % 4] = p[(bits >> (2 * i)) & 3]
+    return out
+
+
+def test_bc1_decode_matches_reference():
+    rng = np.random.RandomState(0)
+    blocks = rng.randint(0, 256, (6, 8), np.uint8)
+    decoded = decode_blocks("bc1", blocks.ravel(), 8, 12)
+    for b in range(6):
+        by, bx = b // 2, b % 2
+        ref = _ref_decode_bc1_block(blocks[b])
+        got = decoded[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+        assert np.array_equal(got, ref), b
+
+
+def test_bc1_encode_decode_roundtrip_quality():
+    rng = np.random.RandomState(1)
+    # Smooth gradient compresses well under BC1.
+    x = np.linspace(0, 255, 16)
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[..., 0] = x[None, :].astype(np.uint8)
+    img[..., 1] = x[:, None].astype(np.uint8)
+    img[..., 2] = 128
+    img[..., 3] = 255
+    enc = encode_bc1(img)
+    dec = decode_blocks("bc1", enc, 16, 16)
+    err = np.abs(dec[..., :3].astype(int) - img[..., :3].astype(int))
+    assert err.mean() < 12.0, err.mean()
+
+
+def test_bc4_bc5_decode():
+    # BC4 block with a0 > a1: 8-value palette interpolation.
+    block = np.zeros(8, np.uint8)
+    block[0] = 255
+    block[1] = 0
+    # indices all 0 -> every texel = a0.
+    out = decode_blocks("bc4", block, 4, 4)
+    assert np.all(out[..., 0] == 255)
+    assert np.all(out[..., 3] == 255)
+    two = np.concatenate([block, block]).astype(np.uint8)
+    out5 = decode_blocks("bc5", two, 4, 4)
+    assert np.all(out5[..., 0] == 255) and np.all(out5[..., 1] == 255)
+
+
+def test_bc3_alpha():
+    block = np.zeros(16, np.uint8)
+    block[0] = 200    # alpha a0
+    block[1] = 10     # alpha a1
+    out = decode_blocks("bc3", block, 4, 4)
+    assert np.all(out[..., 3] == 200)   # all alpha indices 0
+
+
+def test_meshlet_roundtrip():
+    rng = np.random.RandomState(2)
+    from granite_tpu.scene.mesh_util import sphere_mesh
+    m = sphere_mesh(12)
+    blob, n_meshlets = meshlet_encode(m.positions, m.indices)
+    assert n_meshlets >= len(m.indices) / 126
+    pos, idx = meshlet_decode(blob, n_meshlets, len(m.positions) * 4,
+                              len(m.indices))
+    assert len(idx) == len(m.indices)
+    # Triangles reference duplicated verts; compare reconstructed
+    # triangle corner positions against originals.
+    orig = m.positions[m.indices].reshape(-1, 3)
+    got = pos[idx].reshape(-1, 3)
+    extent = m.positions.max() - m.positions.min()
+    assert np.abs(orig - got).max() <= extent / 65535 * 2 + 1e-6
+
+
+def test_radix_sort():
+    rng = np.random.RandomState(3)
+    keys = rng.randint(0, 1 << 62, 5000, np.uint64)
+    order = radix_sort_u64(keys)
+    s = keys[order]
+    assert np.all(s[:-1] <= s[1:])
+    assert sorted(order.tolist()) == list(range(5000))
+
+
+def test_gtpx_container(tmp_path):
+    payload = bytes(np.random.RandomState(4).randint(0, 256, 256,
+                                                     np.uint8))
+    p = str(tmp_path / "t.gtpx")
+    gtpx_save(p, payload, "bc1", 32, 16, levels=3, flags=1)
+    fmt, w, h, levels, flags, data = gtpx_load(p)
+    assert (fmt, w, h, levels, flags) == ("bc1", 32, 16, 3, 1)
+    assert data == payload
+    with pytest.raises(ValueError):
+        bad = str(tmp_path / "bad.gtpx")
+        open(bad, "wb").write(b"NOPE" + b"\0" * 60)
+        gtpx_load(bad)

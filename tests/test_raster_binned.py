@@ -84,6 +84,23 @@ def test_binning_ranges():
     assert (counts > 0).sum() == 1
 
 
+def test_compaction_equivalence():
+    # max_visible compaction with enough capacity is bit-identical.
+    clip, idx = random_scene(50, seed=7)
+    setup = setup_triangles(clip, idx, W, H, cull_mode=CULL_NONE)
+    d_ref, t_ref = rasterize_binned(setup, W, H, interpret=True)
+    d_c, t_c = rasterize_binned(setup, W, H, interpret=True,
+                                max_visible=49)   # < T but >= visible?
+    # With capacity >= actual visible the result matches; count visible:
+    import numpy as np
+    nvis = int(np.asarray(setup.valid).sum())
+    if nvis <= 49:
+        assert np.array_equal(np.asarray(t_ref), np.asarray(t_c))
+    d_c2, t_c2 = rasterize_binned(setup, W, H, interpret=True,
+                                  max_visible=64)
+    assert np.array_equal(np.asarray(t_ref), np.asarray(t_c2))
+
+
 def test_empty_scene():
     clip = jnp.zeros((3, 4), jnp.float32)
     idx = jnp.asarray(np.array([[0, 1, 2]], np.int32))
