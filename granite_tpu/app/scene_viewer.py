@@ -207,6 +207,20 @@ class SceneViewerApplication(Application):
             self.animation_system.start_animation(anim)
         if info.animations:
             LOGI("Playing %d animations", len(info.animations))
+
+        # Hot reload (shader_manager inotify analogue, SURVEY.md §3.5):
+        # watch config.json; on change re-read knobs and re-bake the graph
+        # (= re-trace + re-jit, the TPU analogue of pipeline rebuilds).
+        from ..filesystem import Filesystem
+        self._fs = Filesystem()
+        self._reload_config = False
+        self._config_path = getattr(args, "config", None) if args else None
+        if self._config_path:
+            self._fs.install_notification(
+                self._config_path, lambda _info: setattr(
+                    self, "_reload_config", True))
+        import os as _os
+        self._debug_graph = bool(_os.environ.get("GRANITE_DEBUG_GRAPH"))
         if self.ocean is not None:
             # per-vertex mask of the ocean grid + exclude from shadow casting
             self._ocean_vmask = jnp.asarray(
@@ -225,6 +239,14 @@ class SceneViewerApplication(Application):
             light = info.lights[light_idx]
             if light.type == 0:  # directional
                 self._sun_color = light.color * light.intensity
+
+        # Environment lighting: procedural sky matched to the sun + SH
+        # irradiance + prefiltered specular mips (IBL path; the analogue
+        # of the reference's baked environment probes + skybox).
+        from ..renderer.environment import Environment, \
+            procedural_sky_equirect
+        self.environment = Environment(procedural_sky_equirect(
+            128, sun_dir=self._sun_dir, sun_color=self._sun_color))
 
     def _add_ocean(self, info: SceneInfo) -> None:
         """Compose an FFT ocean into the scene (renderer/ocean.cpp;
@@ -540,8 +562,10 @@ class SceneViewerApplication(Application):
                               else None),
                   shadow_uv_mat=p.get("shadow_uv_mat"),
                   width=self._rw, height=self._rh,
-                  background=jnp.array([0.1, 0.15, 0.25], jnp.float32),
-                  pcf_wide=self.config.pcf_kernel_wide)
+                  background=None,     # skybox from the environment
+                  pcf_wide=self.config.pcf_kernel_wide,
+                  env={"strips": p["env_strips"], "sh": p["env_sh"],
+                       "levels": self.environment.num_levels})
         if self._has_lights:
             zn, zf = self._cluster_range
             kw.update(lights=p["lights"],
@@ -712,8 +736,12 @@ class SceneViewerApplication(Application):
                          "normal_mats": jnp.asarray(nm)},
             "skin_palette": skin_palette,
             "view_proj": jnp.asarray(self.context.view_projection),
+            "inv_view_proj": jnp.asarray(np.linalg.inv(
+                self.context.view_projection).astype(np.float32)),
             "view": jnp.asarray(self.context.view),
             "camera_pos": jnp.asarray(self.context.camera_pos),
+            "env_strips": self.environment.strips,
+            "env_sh": self.environment.sh,
             "sun_dir": jnp.asarray(self._sun_dir),
             "sun_color": jnp.asarray(self._sun_color),
             "object_mask": jnp.asarray(object_mask),
@@ -736,8 +764,26 @@ class SceneViewerApplication(Application):
             params["tile_masks"] = bin_lights_tiles(
                 lights, params["view_proj"], self._rw, self._rh,
                 self.CLUSTER_TILE)
+        if self._debug_graph:
+            # Breadcrumb/validation mode (GRANITE_DEBUG_GRAPH=1): per-pass
+            # sync + NaN scan + pass-trail on faults.
+            from ..graph.debug import execute_debug
+            out, self._history, crumbs = execute_debug(
+                self.graph, params, self._history, device=self.device)
+            self._last_breadcrumbs = crumbs
+            return out
         out, self._history = self.graph.execute(params, self._history)
         return out
+
+    def post_frame(self) -> None:
+        """Application::poll analogue: pump file notifications, apply
+        hot reload (config change -> re-read + re-bake)."""
+        self._fs.poll_notifications()
+        if self._reload_config and self._config_path:
+            self._reload_config = False
+            LOGI("config.json changed; re-baking render graph")
+            self.config = ViewerConfig.from_json(self._config_path)
+            self.swapchain_updated(self.width, self.height)
 
 
 def main(argv=None) -> int:

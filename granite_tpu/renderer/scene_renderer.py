@@ -348,12 +348,18 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
                   width: int = 0, height: int = 0,
                   background=None, pcf_wide: bool = False,
                   z_near: float = 0.1, z_far: float = 1000.0,
-                  cluster_tile: int = 64):
+                  cluster_tile: int = 64, env=None):
     """Lighting from resolved surface attributes: directional + shadow +
     clustered positional lights + emissive (lighting.h compute_lighting +
     compute_cluster_light).  Used by both forward and deferred paths —
     in deferred the `surf` dict comes from G-buffer arrays instead of the
-    raster resolve, matching the reference's shared lighting.h."""
+    raster resolve, matching the reference's shared lighting.h.
+
+    env: optional {"strips", "sh", "levels"} environment bundle — enables
+    IBL ambient (SH irradiance diffuse + prefiltered specular with
+    fresnel_ibl, the environment-lighting path of the reference) instead
+    of the flat 0.05 ambient, and a view-ray skybox for background pixels
+    when `background` is None."""
     pos = surf["pos"]
     shadow_term = 1.0
     if shadow_map is not None:
@@ -365,7 +371,26 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
         surf["roughness"], ambient_factor=jnp.ones_like(surf["metallic"]),
         world_pos=pos, camera_pos=params["camera_pos"],
         light_dir=params["sun_dir"], light_color=params["sun_color"],
-        shadow_term=shadow_term)
+        shadow_term=shadow_term, ambient=env is None)
+
+    if env is not None:
+        from ..ops.pbr import compute_f0, fresnel_ibl
+        from .environment import eval_sh9, sample_environment
+        n = surf["normal"]
+        base = surf["base_color"]
+        metal = surf["metallic"]
+        rough = surf["roughness"]
+        irr = jnp.maximum(eval_sh9(env["sh"], n), 0.0)
+        color = color + irr / jnp.pi * base * (1.0 - metal[..., None])
+        v = params["camera_pos"] - pos
+        v = v / jnp.sqrt(jnp.maximum((v * v).sum(-1,
+                                                 keepdims=True), 1e-20))
+        nov = jnp.clip((n * v).sum(-1), 0.0, 1.0)
+        refl = 2.0 * nov[..., None] * n - v
+        lod = rough * (env["levels"] - 1.0)
+        spec_env = sample_environment(env["strips"], refl, lod)
+        f0 = compute_f0(base, metal)
+        color = color + spec_env * fresnel_ibl(f0, nov, rough)
 
     if lights is not None:
         from ..ops.clusterer import shade_clustered
@@ -378,7 +403,23 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
 
     color = color + surf["emissive"]
     if background is None:
-        background = jnp.zeros(3, jnp.float32)
+        if env is not None:
+            from .environment import sample_environment as _se
+            # Skybox: background pixels sample the sky along the view ray
+            # (mesh_util SkyboxMesh without the mesh).
+            px, py = R.pixel_centers(width, height)
+            ivp = params["inv_view_proj"]
+            ndc = jnp.stack([2 * (px + 0.0) / width - 1,
+                             2 * (py + 0.0) / height - 1,
+                             jnp.full_like(px, 0.5),
+                             jnp.ones_like(px)], axis=-1)
+            wp = ndc @ ivp.T
+            dirs = wp[..., :3] / jnp.where(
+                jnp.abs(wp[..., 3:4]) < 1e-20, 1e-20, wp[..., 3:4]) \
+                - params["camera_pos"]
+            background = _se(env["strips"], dirs, jnp.float32(0.0))
+        else:
+            background = jnp.zeros(3, jnp.float32)
     return jnp.where(surf["covered"][..., None], color, background)
 
 
