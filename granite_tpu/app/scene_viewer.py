@@ -57,6 +57,7 @@ class ViewerConfig:
     lod_bias: float = 0.0
     ocean: bool = False            # .scene composition extension
     terrain: bool = False
+    show_ui: bool = False
     unsupported: dict = field(default_factory=dict)
 
     @classmethod
@@ -77,6 +78,7 @@ class ViewerConfig:
             "lodBias": "lod_bias",
             "ocean": "ocean",
             "terrain": "terrain",
+            "showUi": "show_ui",
         }
         for k, v in doc.items():
             if k in mapping:
@@ -382,6 +384,7 @@ class SceneViewerApplication(Application):
         self._use_taa = aa in ("taa", "taa-extreme", "smaaT2X",
                                "fxaa2phase")
         self._use_fxaa = aa in ("fxaa", "fxaa2phase")
+        self._use_smaa = aa in ("smaa", "smaaT2X")
         if self._use_taa:
             phases = {"taa": TAA.JITTER_TAA_8PHASE,
                       "taa-extreme": TAA.JITTER_TAA_16PHASE,
@@ -465,8 +468,9 @@ class SceneViewerApplication(Application):
         if self.config.hdr_bloom:
             self._add_hdr_chain(g, rel, hdr_name)
 
-        ldr_target = "ldr" if self._use_fxaa else "backbuffer"
-        ldr_info = AttachmentInfo(channels=3) if self._use_fxaa else \
+        self._ldr_aa = self._use_fxaa or self._use_smaa
+        ldr_target = "ldr" if self._ldr_aa else "backbuffer"
+        ldr_info = AttachmentInfo(channels=3) if self._ldr_aa else \
             AttachmentInfo(channels=4, dtype=jnp.uint8)
         tm = g.add_pass("tonemap", Queue.GRAPHICS) \
             .add_texture_input(hdr_name) \
@@ -484,6 +488,14 @@ class SceneViewerApplication(Application):
                                   AttachmentInfo(channels=4,
                                                  dtype=jnp.uint8)) \
                 .set_execute(self._fxaa_pass)
+        elif self._use_smaa:
+            # SMAA 1x / T2X resolve chain (post/smaa.cpp).
+            g.add_pass("smaa", Queue.GRAPHICS) \
+                .add_texture_input("ldr") \
+                .add_color_output("backbuffer",
+                                  AttachmentInfo(channels=4,
+                                                 dtype=jnp.uint8)) \
+                .set_execute(self._smaa_pass)
         g.set_backbuffer_source("backbuffer")
         g.bake()
         g.log()
@@ -612,6 +624,10 @@ class SceneViewerApplication(Application):
         out = fxaa(ctx.input("ldr"), w, h)
         return {"backbuffer": encode_rgba8(out)}
 
+    def _smaa_pass(self, ctx):
+        from ..ops.smaa import smaa
+        return {"backbuffer": encode_rgba8(smaa(ctx.input("ldr")))}
+
     def _bloom_threshold_pass(self, ctx):
         h, w = ctx.size("bloom-thresh")
         avg_lin = jnp.exp2(ctx.history("luminance"))
@@ -650,12 +666,15 @@ class SceneViewerApplication(Application):
             if self.config.hdr_bloom_dynamic_exposure:
                 avg_log = ctx.input("luminance")
         ldr = HDR.tonemap(hdr, bloom, avg_log)
-        if self._use_fxaa:
-            if ldr.shape[:2] != (h, w):
-                ldr = HDR.resize_bilinear(ldr, h, w)
-            return {"ldr": jnp.clip(ldr, 0.0, 1.0)}
         if ldr.shape[:2] != (h, w):
             ldr = HDR.resize_bilinear(ldr, h, w)
+        if self.config.show_ui:
+            # UI overlay composite (FlatRenderer; ui/ module) — the 2D
+            # pass of the reference graph (BASELINE config 3).
+            from ..ui.flat_renderer import composite_overlay
+            ldr = composite_overlay(ldr, ctx.params["ui_overlay"])
+        if self._ldr_aa:
+            return {"ldr": jnp.clip(ldr, 0.0, 1.0)}
         return {"backbuffer": encode_rgba8(ldr)}
 
     # -- frame --------------------------------------------------------------------
@@ -731,6 +750,18 @@ class SceneViewerApplication(Application):
             np.float32)
 
         skin_palette = self._skin_palette()
+        if self.config.show_ui:
+            from ..ui.flat_renderer import FlatRenderer
+            if not hasattr(self, "_flat") or \
+                    self._flat.width != self.width:
+                self._flat = FlatRenderer(self.width, self.height)
+            fr = self._flat
+            fr.begin()
+            fr.render_quad(4, 4, 240, 24, (0, 0, 0, 0.55))
+            fr.render_text(
+                f"granite tpu {frame_time * 1000:5.1f} ms "
+                f"{len(self.packed.indices)} tris", 8, 10,
+                (1, 1, 1, 1), scale=1)
         params = {
             "external": {"world": jnp.asarray(world),
                          "normal_mats": jnp.asarray(nm)},
@@ -750,6 +781,8 @@ class SceneViewerApplication(Application):
             "shadow_uv_mat": jnp.asarray(shadow_uv_transform(light_vp)),
             "frame_time": jnp.float32(frame_time),
         }
+        if self.config.show_ui:
+            params["ui_overlay"] = jnp.asarray(self._flat.flush())
         if taa_reproj is not None:
             params["taa_reproj"] = jnp.asarray(taa_reproj)
         if self.ocean is not None:

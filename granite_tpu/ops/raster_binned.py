@@ -142,6 +142,7 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
 
 
 CHUNK = 8
+MAX_ENTRIES_PER_TILE = 65536
 
 
 def _raster_tile_kernel(starts_ref, huge_count_ref,      # scalar prefetch
@@ -197,6 +198,11 @@ def _raster_tile_kernel(starts_ref, huge_count_ref,      # scalar prefetch
         tri_s[:] = tri_cur
 
     def run_range(hbm_ref, start, count):
+        # Safety cap: a pathological tile (everything projected onto one
+        # spot) must not run for minutes and trip the TPU watchdog; the
+        # reference's fixed-capacity per-tile bins drop excess the same
+        # way under overload.
+        count = jnp.minimum(count, MAX_ENTRIES_PER_TILE)
         n_chunks = pl.cdiv(count, CHUNK)
 
         def get_dma(buf, i):

@@ -72,3 +72,18 @@ def test_fxaa_smooths_staircase():
     edge_vals = np.array([out[y, y, 0] for y in range(4, H - 4)])
     assert ((edge_vals > 0.05) & (edge_vals < 0.95)).any()
     assert not np.isnan(out).any()
+
+
+def test_smaa_smooths_staircase():
+    from granite_tpu.ops.smaa import smaa, edge_detection
+    H = W = 32
+    img = np.zeros((H, W, 3), np.float32)
+    for y in range(H):
+        img[y, : y] = 1.0
+    e_left, e_top = edge_detection(jnp.asarray(img))
+    assert np.asarray(e_left).any() and np.asarray(e_top).any()
+    out = np.asarray(smaa(jnp.asarray(img)))
+    assert np.allclose(out[28, 2], img[28, 2])      # flat area untouched
+    edge_vals = np.array([out[y, y, 0] for y in range(4, H - 4)])
+    assert ((edge_vals > 0.02) & (edge_vals < 0.98)).any()
+    assert not np.isnan(out).any()
