@@ -58,6 +58,7 @@ class ViewerConfig:
     ocean: bool = False            # .scene composition extension
     terrain: bool = False
     show_ui: bool = False
+    occlusion_culling: bool = False   # HiZ cull vs last frame's depth
     unsupported: dict = field(default_factory=dict)
 
     @classmethod
@@ -79,6 +80,7 @@ class ViewerConfig:
             "ocean": "ocean",
             "terrain": "terrain",
             "showUi": "show_ui",
+            "occlusionCulling": "occlusion_culling",
         }
         for k, v in doc.items():
             if k in mapping:
@@ -305,17 +307,24 @@ class SceneViewerApplication(Application):
             s.create_node(parent=parent.get(i, -1),
                           translation=nd.translation, rotation=nd.rotation,
                           scale=nd.scale)
-        # register renderables for culling (object order must match
-        # pack_scene's flattening: nodes in order, meshes per node)
+        # register renderables for culling — object order MUST match
+        # pack_scene's instance order (static instances first, skinned
+        # last; see pack_scene's stable sort).
         from ..scene.scene import (
-            RENDERABLE_CASTS_SHADOW, RENDERABLE_OPAQUE,
+            RENDERABLE_CASTS_SHADOW, RENDERABLE_DYNAMIC, RENDERABLE_OPAQUE,
         )
+        instances = []
         for i, nd in enumerate(info.nodes):
             for mesh_idx in nd.meshes:
                 md = info.meshes[mesh_idx]
-                s.add_renderable(i, mesh_idx,
-                                 RENDERABLE_OPAQUE | RENDERABLE_CASTS_SHADOW,
-                                 md.aabb_min, md.aabb_max)
+                skinned = nd.skin is not None and md.joints is not None
+                instances.append((skinned, i, mesh_idx, md))
+        instances.sort(key=lambda x: x[0])
+        for skinned, i, mesh_idx, md in instances:
+            flags = RENDERABLE_OPAQUE | RENDERABLE_CASTS_SHADOW
+            if skinned:
+                flags |= RENDERABLE_DYNAMIC
+            s.add_renderable(i, mesh_idx, flags, md.aabb_min, md.aabb_max)
         s.update_transform_tree()
         return s
 
@@ -427,6 +436,8 @@ class SceneViewerApplication(Application):
                 .add_color_output("g-covered", rel(1, 1, jnp.bool_))
             if self.ocean is not None:
                 gb.add_texture_input("ocean-maps")
+            if self.config.occlusion_culling:
+                gb.add_history_input("depth-main")
             gb.set_execute(self._gbuffer_pass)
             light = g.add_pass("lighting", Queue.GRAPHICS) \
                 .add_attachment_input("g-base") \
@@ -449,6 +460,8 @@ class SceneViewerApplication(Application):
                 forward.add_texture_input("shadow-depth")
             if self.ocean is not None:
                 forward.add_texture_input("ocean-maps")
+            if self.config.occlusion_culling:
+                forward.add_history_input("depth-main")
             forward.set_execute(self._forward_pass)
 
         hdr_name = "hdr"
@@ -560,8 +573,23 @@ class SceneViewerApplication(Application):
             self.packed, ctx.input("world"), ctx.input("normal_mats"),
             p["view_proj"], displace_fn=displace_fn,
             skin_palette=p.get("skin_palette"))
+        object_mask = p["object_mask"]
+        if self.config.occlusion_culling:
+            # HiZ occlusion cull against LAST frame's depth (carried as
+            # history; the conservative single-phase form of the
+            # reference's two-phase culler, scene_renderer.hpp:132 —
+            # phase 2 re-test is future work, noted in README).
+            from ..ops.hiz import build_hiz, occlusion_test, project_aabbs
+            prev_depth = ctx.history("depth-main")
+            hiz = build_hiz(prev_depth)
+            rmin, rmax, maxz, behind = project_aabbs(
+                p["obj_world_min"], p["obj_world_max"], p["view_proj"],
+                self._rw, self._rh)
+            occ = occlusion_test(hiz, rmin, rmax, maxz,
+                                 self._rw, self._rh) | behind
+            object_mask = object_mask & occ
         setup, depth, tri = rasterize_scene(
-            self.packed, clip, p["object_mask"], self._rw, self._rh)
+            self.packed, clip, object_mask, self._rw, self._rh)
         surf = surface_attributes(
             self.packed, setup, tri, wpos, wnrm, wtan, self._rw, self._rh,
             lod_bias=self.config.lod_bias)
@@ -783,6 +811,9 @@ class SceneViewerApplication(Application):
         }
         if self.config.show_ui:
             params["ui_overlay"] = jnp.asarray(self._flat.flush())
+        if self.config.occlusion_culling:
+            params["obj_world_min"] = jnp.asarray(scene.r_world_min)
+            params["obj_world_max"] = jnp.asarray(scene.r_world_max)
         if taa_reproj is not None:
             params["taa_reproj"] = jnp.asarray(taa_reproj)
         if self.ocean is not None:

@@ -66,7 +66,8 @@ def _build_packets(setup: TriangleSetup) -> jax.Array:
 
 
 def bin_triangles(setup: TriangleSetup, width: int, height: int,
-                  huge_cap: int = 1024, max_visible: int | None = None):
+                  huge_cap: int = 1024, max_visible: int | None = None,
+                  span_w: int = SPAN_W, span_h: int = SPAN_H):
     """Sort-based binning.  Returns (packets_sorted (E,128), starts
     (ntiles+1,), huge_packets (huge_cap, 128), huge_count ()).
 
@@ -103,15 +104,16 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     ty0 = y0 // TILE_H
     tx1 = (x1 - 1) // TILE_W          # inclusive
     ty1 = (y1 - 1) // TILE_H
-    span_w = tx1 - tx0 + 1
-    span_h = ty1 - ty0 + 1
-    small = valid & (span_w <= SPAN_W) & (span_h <= SPAN_H)
+    tri_span_w = tx1 - tx0 + 1
+    tri_span_h = ty1 - ty0 + 1
+    small = valid & (tri_span_w <= span_w) & (tri_span_h <= span_h)
     huge = valid & ~small
 
-    # --- small: emit K_SLOTS keys per triangle -----------------------------
-    slot = jnp.arange(K_SLOTS, dtype=jnp.int32)
-    dx = slot % SPAN_W                                  # (K,)
-    dy = slot // SPAN_W
+    # --- small: emit span_w*span_h keys per triangle ------------------------
+    k_slots = span_w * span_h
+    slot = jnp.arange(k_slots, dtype=jnp.int32)
+    dx = slot % span_w                                  # (K,)
+    dy = slot // span_w
     etx = tx0[:, None] + dx[None, :]
     ety = ty0[:, None] + dy[None, :]
     in_span = (etx <= tx1[:, None]) & (ety <= ty1[:, None]) & small[:, None]
@@ -120,7 +122,7 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
 
     order = jnp.argsort(keys)                           # stable
     sorted_keys = keys[order]
-    entry_tri = (order // K_SLOTS).astype(jnp.int32)
+    entry_tri = (order // k_slots).astype(jnp.int32)
 
     packets_sorted = packets[entry_tri]
     # Pad one DMA chunk: the kernel reads chunk-aligned ranges and may
@@ -141,7 +143,7 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     return packets_sorted, starts, huge_packets, huge_count
 
 
-CHUNK = 8
+CHUNK = 16               # packets per DMA (16 x 512B = 8KB transfers)
 MAX_ENTRIES_PER_TILE = 65536
 
 
@@ -243,8 +245,16 @@ def _raster_tile_kernel(starts_ref, huge_count_ref,      # scalar prefetch
 
 def rasterize_binned(setup: TriangleSetup, width: int, height: int,
                      huge_cap: int = 1024, interpret: bool | None = None,
-                     max_visible: int | None = None):
-    """Full binned rasterization.  Returns (depth (H, W), tri (H, W))."""
+                     max_visible: int | None = None,
+                     span_w: int = SPAN_W, span_h: int = SPAN_H):
+    """Full binned rasterization.  Returns (depth (H, W), tri (H, W)).
+
+    span_w/span_h size the per-triangle emit window in tiles; triangles
+    exceeding it go to the all-tiles huge list.  Views with many large
+    triangles (ortho shadow maps of tall geometry) need a bigger window —
+    an overloaded huge list makes every tile scan it and can run long
+    enough to trip the TPU watchdog.
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     tx = -(-width // TILE_W)
@@ -254,7 +264,8 @@ def rasterize_binned(setup: TriangleSetup, width: int, height: int,
     ph = ty * TILE_H
 
     packets, starts, huge_packets, huge_count = bin_triangles(
-        setup, width, height, huge_cap, max_visible=max_visible)
+        setup, width, height, huge_cap, max_visible=max_visible,
+        span_w=span_w, span_h=span_h)
 
     kernel = functools.partial(_raster_tile_kernel, tiles_x=tx)
     grid_spec = pltpu.PrefetchScalarGridSpec(

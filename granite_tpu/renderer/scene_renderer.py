@@ -471,5 +471,12 @@ def render_shadow_map(scene: PackedScene, world, light_vp, size: int,
                               cull_mode=R.CULL_NONE)
     tri_visible = object_mask[scene.tri_object]
     setup = setup._replace(valid=setup.valid & tri_visible)
-    depth, _tri = R.rasterize(setup, size, size)
+    if jax.default_backend() != "cpu":
+        # Ortho shadow views have many tall/large triangles; use the
+        # binned path with a wide emit window (see rasterize_binned).
+        from ..ops.raster_binned import rasterize_binned
+        depth, _tri = rasterize_binned(setup, size, size, interpret=False,
+                                       span_w=2, span_h=8)
+    else:
+        depth, _tri = R.rasterize(setup, size, size)
     return depth
