@@ -48,6 +48,7 @@ class ViewerConfig:
     renderer: str = "forward"                 # forward | deferred
     msaa: int = 1
     directional_light_shadows: bool = True
+    directional_light_cascaded_shadows: bool = False
     pcf_kernel_wide: bool = False
     hdr_bloom: bool = True
     hdr_bloom_dynamic_exposure: bool = True
@@ -70,6 +71,8 @@ class ViewerConfig:
             "renderer": "renderer",
             "msaa": "msaa",
             "directionalLightShadows": "directional_light_shadows",
+            "directionalLightShadowsCascaded":
+                "directional_light_cascaded_shadows",
             "PCFKernelWide": "pcf_kernel_wide",
             "hdrBloom": "hdr_bloom",
             "hdrBloomDynamicExposure": "hdr_bloom_dynamic_exposure",
@@ -404,12 +407,15 @@ class SceneViewerApplication(Application):
             self._jitter = None
 
         if use_shadow:
+            layers = 4 if self.config.directional_light_cascaded_shadows \
+                else 1
             g.add_pass("shadow-main", Queue.GRAPHICS) \
                 .add_external_input("world") \
                 .add_depth_stencil_output(
                     "shadow-depth",
                     AttachmentInfo(SizeClass.ABSOLUTE, shadow_res,
-                                   shadow_res, channels=1)) \
+                                   shadow_res, channels=1,
+                                   layers=layers)) \
                 .set_execute(self._shadow_pass)
 
         if self.ocean is not None:
@@ -554,6 +560,16 @@ class SceneViewerApplication(Application):
     # -- passes ------------------------------------------------------------------
     def _shadow_pass(self, ctx):
         size = ctx.size("shadow-depth")[0]
+        if self.config.directional_light_cascaded_shadows:
+            # 4-cascade directional shadows (directional.frag
+            # SHADOW_NUM_CASCADES): one binned raster per cascade.
+            maps = [render_shadow_map(
+                self.packed, ctx.input("world"),
+                ctx.params["cascade_vps"][c], size,
+                ctx.params["shadow_object_mask"],
+                skin_palette=ctx.params.get("skin_palette"))
+                for c in range(4)]
+            return {"shadow-depth": jnp.stack(maps)}
         depth = render_shadow_map(
             self.packed, ctx.input("world"),
             ctx.params["shadow_vp"], size,
@@ -764,6 +780,12 @@ class SceneViewerApplication(Application):
         mn = scene.r_world_min.min(axis=0)
         mx = scene.r_world_max.max(axis=0)
         light_vp = directional_shadow_matrix(self._sun_dir, mn, mx)
+        cascade_vps = None
+        if self.config.directional_light_cascaded_shadows:
+            from ..ops.shadow import cascade_matrices
+            cascade_vps = cascade_matrices(
+                self._sun_dir, self.camera.position,
+                self.camera.get_front(), mn, mx)
         shadow_mask = np.zeros(self.packed.num_objects, bool)
         shadow_mask[scene.gather_visible_static_shadow_renderables(
             Frustum(light_vp))] = True
@@ -806,9 +828,14 @@ class SceneViewerApplication(Application):
             "object_mask": jnp.asarray(object_mask),
             "shadow_object_mask": jnp.asarray(shadow_mask),
             "shadow_vp": jnp.asarray(light_vp),
-            "shadow_uv_mat": jnp.asarray(shadow_uv_transform(light_vp)),
+            "shadow_uv_mat": jnp.asarray(
+                np.stack([shadow_uv_transform(m) for m in cascade_vps])
+                if cascade_vps is not None
+                else shadow_uv_transform(light_vp)),
             "frame_time": jnp.float32(frame_time),
         }
+        if cascade_vps is not None:
+            params["cascade_vps"] = jnp.asarray(cascade_vps)
         if self.config.show_ui:
             params["ui_overlay"] = jnp.asarray(self._flat.flush())
         if self.config.occlusion_culling:

@@ -132,3 +132,71 @@ def sample_directional_shadow(shadow_map, shadow_uv_mat, world_pos,
     if wide:
         return pcf_wide(shadow_map, u, v, z, bias)
     return pcf_2x2(shadow_map, u, v, z, bias)
+
+
+# ---------------------------------------------------------------------------
+# Cascaded shadow maps (SHADOW_NUM_CASCADES=4 in directional.frag:8;
+# cascade selection in lighting_resources.h compute_shadow_cascade with a
+# log depth split + cross-fade band).
+# ---------------------------------------------------------------------------
+
+def cascade_matrices(light_dir, camera_pos, camera_front, scene_min,
+                     scene_max, num_cascades: int = 4,
+                     first_radius: float = 8.0,
+                     up=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """Fit one ortho frustum per cascade around view-distance bands.
+
+    Cascade c covers camera distance up to first_radius * 2^c (the log
+    split of the reference's cascade_log_bias scheme); each is centered
+    ahead of the camera and clamped to the scene bounds for the depth
+    range.  Returns (C, 4, 4) light view-proj matrices.
+    """
+    light_dir = np.asarray(light_dir, np.float32)
+    light_dir = light_dir / np.linalg.norm(light_dir)
+    camera_pos = np.asarray(camera_pos, np.float32)
+    camera_front = np.asarray(camera_front, np.float32)
+    scene_r = 0.5 * float(np.linalg.norm(
+        np.asarray(scene_max) - np.asarray(scene_min)))
+    if abs(np.dot(light_dir, np.asarray(up, np.float32))) > 0.99:
+        up = (0.0, 0.0, 1.0)
+    mats = []
+    for c in range(num_cascades):
+        radius = first_radius * (2.0 ** c)
+        center = camera_pos + camera_front * (0.5 * radius)
+        eye = center + light_dir * (scene_r + radius)
+        view = look_at_matrix(eye, center, up)
+        proj = ortho(-radius, radius, -radius, radius,
+                     0.5 * radius, 2.0 * (scene_r + radius))
+        mats.append((proj @ view).astype(np.float32))
+    return np.stack(mats)
+
+
+def sample_cascaded_shadow(shadow_maps, cascade_uv_mats, world_pos,
+                           wide: bool = False, bias: float = 1e-3):
+    """Cascade selection + PCF + cross-fade (compute_shadow_cascade).
+
+    shadow_maps: (C, S, S); cascade_uv_mats: (C, 4, 4) world->uvz.
+    Selection: the first cascade whose UV footprint contains the point
+    with margin; a 10% border band cross-fades to the next cascade.
+    """
+    import jax
+    import jax.numpy as jnp
+    C = shadow_maps.shape[0]
+    terms = []
+    inside = []
+    for c in range(C):
+        m = cascade_uv_mats[c]
+        uvw = (world_pos @ m[:3, :3].T) + m[:3, 3]
+        u, v, z = uvw[..., 0], uvw[..., 1], uvw[..., 2]
+        t = pcf_wide(shadow_maps[c], u, v, z, bias) if wide else \
+            pcf_2x2(shadow_maps[c], u, v, z, bias)
+        terms.append(t)
+        margin = jnp.maximum(jnp.maximum(jnp.abs(u - 0.5),
+                                         jnp.abs(v - 0.5)) * 2.0, 0.0)
+        inside.append(margin)       # < 1 means inside, smaller = deeper
+    term = jnp.ones_like(terms[0])
+    # Blend far-to-near so nearer cascades override.
+    for c in reversed(range(C)):
+        w = jnp.clip((1.0 - inside[c]) / 0.1, 0.0, 1.0)  # fade band 10%
+        term = term + (terms[c] - term) * w
+    return term

@@ -363,8 +363,14 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
     pos = surf["pos"]
     shadow_term = 1.0
     if shadow_map is not None:
-        shadow_term = sample_directional_shadow(
-            shadow_map, shadow_uv_mat, pos, wide=pcf_wide)
+        if shadow_map.ndim == 3:
+            # (C, S, S) cascades with (C, 4, 4) uv transforms.
+            from ..ops.shadow import sample_cascaded_shadow
+            shadow_term = sample_cascaded_shadow(
+                shadow_map, shadow_uv_mat, pos, wide=pcf_wide)
+        else:
+            shadow_term = sample_directional_shadow(
+                shadow_map, shadow_uv_mat, pos, wide=pcf_wide)
 
     color = compute_lighting(
         surf["base_color"], surf["normal"], surf["metallic"],
