@@ -369,9 +369,16 @@ class SceneViewerApplication(Application):
     def swapchain_updated(self, width: int, height: int) -> None:
         super().swapchain_updated(width, height)
         self.camera.set_aspect(width / height)
-        rw = max(int(width * self.config.resolution_scale), 1)
-        rh = max(int(height * self.config.resolution_scale), 1)
+        scale = self.config.resolution_scale
+        if self.config.msaa > 1:
+            # TPU mapping of the msaa knob: ordered-grid supersampling
+            # (render at sqrt(msaa)x scale, box-filter down in tonemap).
+            # HW MSAA's coverage-only sampling has no XLA analogue.
+            scale = scale * float(np.sqrt(self.config.msaa))
+        rw = max(int(width * scale), 1)
+        rh = max(int(height * scale), 1)
         self._rw, self._rh = rw, rh
+        self._render_scale = scale
         self._has_lights = any(
             nd.light is not None and self.info.lights[nd.light].type != 0
             for nd in self.info.nodes)
@@ -383,7 +390,7 @@ class SceneViewerApplication(Application):
         g.set_backbuffer_dimensions(width, height)
         shadow_res = int(self.config.shadow_map_resolution)
         use_shadow = self.config.directional_light_shadows
-        rs = self.config.resolution_scale
+        rs = self._render_scale
 
         def rel(scale, channels, dtype=jnp.float32):
             return AttachmentInfo(SizeClass.SWAPCHAIN_RELATIVE, rs * scale,
@@ -742,10 +749,14 @@ class SceneViewerApplication(Application):
             spot.append(1.0 if light.type == LIGHT_SPOT else 0.0)
         if not pos:
             return None
+        # Capacity rounds the ACTUAL light count to the next multiple of 8
+        # (capped by LIGHT_CAPACITY): the clustered shading loop runs to
+        # capacity, so slack is pure waste.
+        cap = min(self.LIGHT_CAPACITY, max(8, -(-len(pos) // 8) * 8))
         return pack_lights(np.asarray(pos), np.asarray(col),
                            np.asarray(rad), np.asarray(dirs),
                            np.asarray(inner), np.asarray(outer),
-                           np.asarray(spot), capacity=self.LIGHT_CAPACITY)
+                           np.asarray(spot), capacity=cap)
 
     def _skin_palette(self):
         """Per-frame joint matrices: world[joint] @ inverse_bind, all

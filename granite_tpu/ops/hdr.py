@@ -36,10 +36,12 @@ def _sample_bilinear_uv(img, u, v):
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
+    # Clamp each texel independently from the UNclamped floor — true
+    # clamp-to-edge (both taps collapse onto the border texel outside).
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
     t00 = img[y0i, x0i]
     t10 = img[y0i, x1i]
     t01 = img[y1i, x0i]
@@ -48,7 +50,68 @@ def _sample_bilinear_uv(img, u, v):
             + (t01 * (1 - fx) + t11 * fx) * fy)
 
 
+def _upsample_axis_int(img, f: int, axis: int):
+    """Exact integer-factor bilinear upsample along one axis WITHOUT
+    gathers: per output phase r, x_tex = i + (r+0.5)/f - 0.5 blends two
+    fixed-shift copies — pure VPU shifts + interleave (TPU gathers cost
+    ~3ns/row; fixed-phase filters must never gather)."""
+    img = jnp.moveaxis(img, axis, 0)
+    n = img.shape[0]
+    phases = []
+    for r in range(f):
+        phi = (r + 0.5) / f - 0.5
+        k = -1 if phi < 0 else 0
+        t = phi - k
+        a = jnp.concatenate([img[:1]] * max(-k, 0) + [img[:n - max(-k, 0)]]) \
+            if k < 0 else img
+        b_shift = k + 1
+        b = jnp.concatenate([img[b_shift:], img[-1:]]) if b_shift == 1 \
+            else img
+        phases.append(a * (1 - t) + b * t)
+    out = jnp.stack(phases, axis=1).reshape((n * f,) + img.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _downsample2_axis(img, kernel, axis: int):
+    """Stride-2 separable filter along one axis via shifts (edge clamp).
+    kernel taps cover input texels [2o-2 .. 2o+3] for output o."""
+    img = jnp.moveaxis(img, axis, 0)
+    n = img.shape[0]
+    pad = jnp.concatenate([img[:1], img[:1], img, img[-1:], img[-1:]])
+    acc = 0.0
+    for j, w in enumerate(kernel):       # tap j at padded index 2o + j
+        acc = acc + w * pad[j:j + n:2]
+    return jnp.moveaxis(acc, 0, axis)
+
+
+def _upsample2_axis(img, axis: int):
+    """The bloom 2x upsample (+-0.875 taps, weights .25/.5/.25) as two
+    fixed 4-tap phase kernels + interleave (derived analytically from the
+    bilinear taps; bit-matches the gather form to fp rounding)."""
+    k_even = (0.03125, 0.34375, 0.46875, 0.15625)   # texels o-2..o+1
+    k_odd = (0.15625, 0.46875, 0.34375, 0.03125)    # texels o-1..o+2
+    img = jnp.moveaxis(img, axis, 0)
+    n = img.shape[0]
+    pad = jnp.concatenate([img[:1], img[:1], img, img[-1:], img[-1:]])
+    even = sum(w * pad[j:j + n] for j, w in enumerate(k_even))
+    odd = sum(w * pad[j + 1:j + 1 + n] for j, w in enumerate(k_odd))
+    out = jnp.stack([even, odd], axis=1).reshape((2 * n,) + img.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
 def resize_bilinear(img, out_h: int, out_w: int):
+    h, w = img.shape[:2]
+    if out_h == h and out_w == w:
+        return img
+    # Gather-free fast paths for exact integer ratios (all the ratios the
+    # HDR chain uses): 2:1 box reduction and f:1 phase-interleaved
+    # upsampling.
+    if h == 2 * out_h and w == 2 * out_w:
+        return img.reshape(out_h, 2, out_w, 2, -1).mean(axis=(1, 3)) \
+            .reshape(out_h, out_w, img.shape[-1])
+    if out_h % h == 0 and out_w % w == 0 and out_h // h == out_w // w:
+        return _upsample_axis_int(
+            _upsample_axis_int(img, out_h // h, 0), out_w // w, 1)
     u = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
     v = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
     uu, vv = jnp.meshgrid(u, v)
@@ -102,11 +165,23 @@ def _taps(img, out_h: int, out_w: int, taps):
     return acc
 
 
+# The 9 bilinear taps at +-1.75 texels with separable weights
+# [.25, .5, .25] reduce, at an exact 2:1 ratio, to this separable 6-tap
+# stride-2 kernel over input texels [2o-2 .. 2o+3] (derived analytically;
+# identical math, zero gathers).
+_DOWN2_KERNEL = (0.0625, 0.1875, 0.25, 0.25, 0.1875, 0.0625)
+
+
 def bloom_downsample(img, out_h: int, out_w: int, history=None,
                      frame_time=None):
     """bloom_downsample.frag (9 taps, +-1.75 texels); FEEDBACK variant
     lerps with last frame's output (hdr.cpp:182 lerp = 1-0.001^dt)."""
-    out = _taps(img, out_h, out_w, _DOWN_TAPS)
+    in_h, in_w = img.shape[:2]
+    if in_h == 2 * out_h and in_w == 2 * out_w:
+        out = _downsample2_axis(
+            _downsample2_axis(img, _DOWN2_KERNEL, 0), _DOWN2_KERNEL, 1)
+    else:
+        out = _taps(img, out_h, out_w, _DOWN_TAPS)
     if history is not None:
         lerp = 1.0 - jnp.power(0.001, frame_time)
         out = history + (out - history) * lerp
@@ -114,6 +189,9 @@ def bloom_downsample(img, out_h: int, out_w: int, history=None,
 
 
 def bloom_upsample(img, out_h: int, out_w: int):
+    in_h, in_w = img.shape[:2]
+    if out_h == 2 * in_h and out_w == 2 * in_w:
+        return _upsample2_axis(_upsample2_axis(img, 0), 1)
     return _taps(img, out_h, out_w, _UP_TAPS)
 
 

@@ -67,6 +67,12 @@ class PackedScene:
     num_static_verts: int = 0
     v_joints: Optional[jax.Array] = None   # (Vskin, 4) palette indices
     v_weights: Optional[jax.Array] = None  # (Vskin, 4) f32
+    # Shader-variant capability flags (ShaderSuite material-flag variant
+    # resolution, renderer/shader_suite.hpp:72): texture fetches for
+    # capabilities no material uses are compiled out of the trace.
+    has_normal_maps: bool = True
+    has_mr_textures: bool = True
+    has_emissive: bool = True
     scene_aabb_min: np.ndarray = None
     scene_aabb_max: np.ndarray = None
 
@@ -207,6 +213,13 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
                   if joints_l else None),
         v_weights=(jnp.asarray(np.concatenate(weights_l))
                    if weights_l else None),
+        has_normal_maps=any(m.normal_image is not None
+                            for m in info.materials),
+        has_mr_textures=any(m.metallic_roughness_image is not None
+                            for m in info.materials),
+        has_emissive=any(m.emissive_image is not None
+                         or np.any(m.emissive_factor)
+                         for m in info.materials),
     )
     LOGI("PackedScene: %d verts, %d tris, %d objects, %d materials, "
          "%d textures", len(positions), len(ps.indices), ps.num_objects,
@@ -296,20 +309,27 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
     """
     px, py = R.pixel_centers(width, height)
     covered = tri >= 0
-    bary, _ = R.barycentrics(setup, tri, px, py)
 
-    pos = R.interpolate(world_pos, scene.indices, tri, bary)
-    nrm = R.interpolate(world_normal, scene.indices, tri, bary)
-    tan = R.interpolate(world_tangent, scene.indices, tri, bary)
-    uv, duvdx, duvdy = R.interpolate_with_derivs(
-        scene.uvs, scene.indices, tri, setup, px, py)
+    # ONE packed attribute gather: (pos 3 | normal 3 | tangent 4 | uv 2).
+    # Gathers cost ~3ns/row on TPU regardless of width, so folding the
+    # four per-vertex streams into a single 12-wide gather quarters the
+    # dominant per-pixel cost of the resolve.
+    packed = jnp.concatenate(
+        [world_pos, world_normal, world_tangent, scene.uvs], axis=1)
+    vals, ddx, ddy = R.interpolate_with_derivs(
+        packed, scene.indices, tri, setup, px, py)
+    pos = vals[..., 0:3]
+    nrm = vals[..., 3:6]
+    tan = vals[..., 6:10]
+    uv = vals[..., 10:12]
+    duvdx = ddx[..., 10:12]
+    duvdy = ddy[..., 10:12]
 
     # Per-pixel material fetch.
     t = jnp.maximum(tri, 0)
     mat = scene.tri_material[t]
     base_factor = scene.mat_base_color[mat]
     mr_factor = scene.mat_mr[mat]
-    emissive = scene.mat_emissive[mat]
     tex_ids = scene.mat_tex[mat]                      # (H, W, 4)
 
     S = scene.textures.shape[2]
@@ -319,25 +339,40 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
     u, v = uv[..., 0], uv[..., 1]
     base_tex = T.sample_array_trilinear(scene.textures, tex_ids[..., 0],
                                         u, v, lod)
-    mr_tex = T.sample_array_trilinear(scene.textures, tex_ids[..., 1],
-                                      u, v, lod)
-    nrm_tex = T.sample_array_trilinear(scene.textures, tex_ids[..., 2],
-                                       u, v, lod)
-    emis_tex = T.sample_array_trilinear(scene.textures, tex_ids[..., 3],
-                                        u, v, lod)
-
     base_color = base_factor[..., :3] * base_tex[..., :3]
-    metallic = mr_factor[..., 0] * mr_tex[..., 2]     # glTF: B=metal
-    roughness = mr_factor[..., 1] * mr_tex[..., 1]    # G=rough
-    emissive = emissive * emis_tex[..., :3]
 
-    # Normal mapping (static_mesh.frag tangent-frame path).
+    # Shader-variant specialization (ShaderSuite material flags): skip
+    # texture fetches no material in the scene uses.
+    if scene.has_mr_textures:
+        mr_tex = T.sample_array_trilinear(scene.textures,
+                                          tex_ids[..., 1], u, v, lod)
+        metallic = mr_factor[..., 0] * mr_tex[..., 2]   # glTF: B=metal
+        roughness = mr_factor[..., 1] * mr_tex[..., 1]  # G=rough
+    else:
+        metallic = mr_factor[..., 0]
+        roughness = mr_factor[..., 1]
+
     n = _normalize(nrm)
-    t3 = _normalize(tan[..., :3])
-    b = jnp.cross(n, t3) * tan[..., 3:4]
-    tn = nrm_tex[..., :3] * 2.0 - 1.0
-    n_mapped = _normalize(tn[..., 0:1] * t3 + tn[..., 1:2] * b
-                          + tn[..., 2:3] * n)
+    if scene.has_normal_maps:
+        nrm_tex = T.sample_array_trilinear(scene.textures,
+                                           tex_ids[..., 2], u, v, lod)
+        # Normal mapping (static_mesh.frag tangent-frame path).
+        t3 = _normalize(tan[..., :3])
+        b = jnp.cross(n, t3) * tan[..., 3:4]
+        tn = nrm_tex[..., :3] * 2.0 - 1.0
+        n_mapped = _normalize(tn[..., 0:1] * t3 + tn[..., 1:2] * b
+                              + tn[..., 2:3] * n)
+    else:
+        n_mapped = n
+
+    if scene.has_emissive:
+        emissive = scene.mat_emissive[mat]
+        emis_tex = T.sample_array_trilinear(scene.textures,
+                                            tex_ids[..., 3], u, v, lod)
+        emissive = emissive * emis_tex[..., :3]
+    else:
+        emissive = jnp.zeros_like(base_color)
+
     return {"pos": pos, "normal": n_mapped, "base_color": base_color,
             "metallic": metallic, "roughness": roughness,
             "emissive": emissive, "covered": covered}

@@ -68,3 +68,39 @@ def test_resize_bilinear_identity():
                       .astype(np.float32))
     same = resize_bilinear(img, 8, 8)
     assert np.allclose(np.asarray(same), np.asarray(img), atol=1e-6)
+
+
+def test_fast_paths_match_gather_taps():
+    # The conv/shift fast paths must reproduce the gather-tap reference
+    # (same math, reassociated).
+    from granite_tpu.ops.hdr import _taps, _DOWN_TAPS, _UP_TAPS
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.rand(32, 64, 4).astype(np.float32))
+    fast = bloom_downsample(img, 16, 32)
+    ref = _taps(img, 16, 32, _DOWN_TAPS)
+    assert np.allclose(np.asarray(fast), np.asarray(ref), atol=2e-5)
+
+    small = jnp.asarray(rng.rand(16, 32, 4).astype(np.float32))
+    fast_up = bloom_upsample(small, 32, 64)
+    ref_up = _taps(small, 32, 64, _UP_TAPS)
+    assert np.allclose(np.asarray(fast_up), np.asarray(ref_up), atol=2e-5)
+
+
+def test_resize_fast_paths():
+    from granite_tpu.ops.hdr import _sample_bilinear_uv
+    rng = np.random.RandomState(6)
+    img = jnp.asarray(rng.rand(16, 24, 3).astype(np.float32))
+    # 2:1 down == box == bilinear at exact half.
+    down = resize_bilinear(img, 8, 12)
+    u = (jnp.arange(12, dtype=jnp.float32) + 0.5) / 12
+    v = (jnp.arange(8, dtype=jnp.float32) + 0.5) / 8
+    uu, vv = jnp.meshgrid(u, v)
+    ref = _sample_bilinear_uv(img, uu, vv)
+    assert np.allclose(np.asarray(down), np.asarray(ref), atol=2e-6)
+    # integer upsample x4 matches the gather bilinear.
+    up = resize_bilinear(img, 64, 96)
+    u = (jnp.arange(96, dtype=jnp.float32) + 0.5) / 96
+    v = (jnp.arange(64, dtype=jnp.float32) + 0.5) / 64
+    uu, vv = jnp.meshgrid(u, v)
+    ref = _sample_bilinear_uv(img, uu, vv)
+    assert np.allclose(np.asarray(up), np.asarray(ref), atol=2e-6)
