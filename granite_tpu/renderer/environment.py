@@ -131,6 +131,9 @@ def sample_environment(strips, dirs, lod):
     theta = jnp.arccos(jnp.clip(y / n, -1.0, 1.0))
     phi = jnp.arctan2(z, x)
     u = jnp.where(phi < 0, phi + 2 * jnp.pi, phi) / (2 * jnp.pi)
-    v = theta / jnp.pi
+    # Clamp v away from the poles: the sampler wraps both axes (repeat),
+    # which is right for azimuth but would pull the opposite pole row in.
+    s = strips.shape[2]
+    v = jnp.clip(theta / jnp.pi, 0.5 / s, 1.0 - 0.5 / s)
     return sample_array_trilinear(strips, jnp.int32(0), u, v, lod,
                                   wrap=0)[..., :3]

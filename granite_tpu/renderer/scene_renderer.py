@@ -310,14 +310,49 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
     px, py = R.pixel_centers(width, height)
     covered = tri >= 0
 
-    # ONE packed attribute gather: (pos 3 | normal 3 | tangent 4 | uv 2).
-    # Gathers cost ~3ns/row on TPU regardless of width, so folding the
-    # four per-vertex streams into a single 12-wide gather quarters the
-    # dominant per-pixel cost of the resolve.
-    packed = jnp.concatenate(
-        [world_pos, world_normal, world_tangent, scene.uvs], axis=1)
-    vals, ddx, ddy = R.interpolate_with_derivs(
-        packed, scene.indices, tri, setup, px, py)
+    # TPU gather economics: ~3ns per gathered ROW regardless of width, so
+    # the resolve packs EVERYTHING a pixel needs from its triangle into
+    # one wide per-triangle row, built with triangle-count gathers
+    # (T*3 corner rows), then fetched with a single pixel-count gather:
+    #   [adj 9 | offset 2 | corner attrs 3x12 | material 4 factors...]
+    # This replaces 5+ separate pixel-count gather passes.
+    T_ = scene.indices.shape[0]
+    vattrs = jnp.concatenate(
+        [world_pos, world_normal, world_tangent, scene.uvs], axis=1)  # (V,12)
+    corner = vattrs[scene.indices].reshape(T_, 36)        # (T,3) row gather
+    mat_of_tri = scene.tri_material                       # (T,)
+    tri_pack = jnp.concatenate([
+        setup.adj.reshape(T_, 9),
+        setup.offset,                                     # 2
+        corner,                                           # 36
+        scene.mat_base_color[mat_of_tri],                 # 4
+        scene.mat_mr[mat_of_tri],                         # 2
+        scene.mat_tex[mat_of_tri].astype(jnp.float32),    # 4 (ids as f32)
+        scene.mat_emissive[mat_of_tri],                   # 3
+    ], axis=1)                                            # (T, 60)
+
+    t = jnp.maximum(tri, 0)
+    row = tri_pack[t]                                     # (H, W, 60)
+    adj = row[..., 0:9].reshape(row.shape[:-1] + (3, 3))
+    off = row[..., 9:11]
+    av = row[..., 11:47].reshape(row.shape[:-1] + (3, 12))
+
+    # Perspective-correct interpolation + analytic screen derivatives
+    # (see ops/raster.interpolate_with_derivs for the math).
+    rx = (px - off[..., 0])[..., None]
+    ry = (py - off[..., 1])[..., None]
+    lam = adj[..., 0] * rx + adj[..., 1] * ry + adj[..., 2]
+    D = lam.sum(-1)
+    Dx = adj[..., 0].sum(-1)
+    Dy = adj[..., 1].sum(-1)
+    N = (av * lam[..., None]).sum(-2)
+    Nx = (av * adj[..., 0][..., None]).sum(-2)
+    Ny = (av * adj[..., 1][..., None]).sum(-2)
+    D = jnp.where(jnp.abs(D) < 1e-20, 1e-20, D)[..., None]
+    vals = N / D
+    ddx = (Nx - vals * Dx[..., None]) / D
+    ddy = (Ny - vals * Dy[..., None]) / D
+
     pos = vals[..., 0:3]
     nrm = vals[..., 3:6]
     tan = vals[..., 6:10]
@@ -325,12 +360,10 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
     duvdx = ddx[..., 10:12]
     duvdy = ddy[..., 10:12]
 
-    # Per-pixel material fetch.
-    t = jnp.maximum(tri, 0)
-    mat = scene.tri_material[t]
-    base_factor = scene.mat_base_color[mat]
-    mr_factor = scene.mat_mr[mat]
-    tex_ids = scene.mat_tex[mat]                      # (H, W, 4)
+    base_factor = row[..., 47:51]
+    mr_factor = row[..., 51:53]
+    tex_ids = row[..., 53:57].astype(jnp.int32)
+    emissive_factor = row[..., 57:60]
 
     S = scene.textures.shape[2]
     lod = T.lod_from_derivs(duvdx[..., 0], duvdx[..., 1],
@@ -366,10 +399,9 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
         n_mapped = n
 
     if scene.has_emissive:
-        emissive = scene.mat_emissive[mat]
         emis_tex = T.sample_array_trilinear(scene.textures,
                                             tex_ids[..., 3], u, v, lod)
-        emissive = emissive * emis_tex[..., :3]
+        emissive = emissive_factor * emis_tex[..., :3]
     else:
         emissive = jnp.zeros_like(base_color)
 

@@ -104,3 +104,26 @@ def test_resize_fast_paths():
     uu, vv = jnp.meshgrid(u, v)
     ref = _sample_bilinear_uv(img, uu, vv)
     assert np.allclose(np.asarray(up), np.asarray(ref), atol=2e-6)
+
+
+def test_environment_sh_and_sky():
+    import numpy as np
+    from granite_tpu.renderer.environment import (
+        Environment, eval_sh9, procedural_sky_equirect, sample_environment,
+        project_sh9,
+    )
+    sky = procedural_sky_equirect(32, sun_dir=(0, 1, 0))
+    assert sky.shape == (32, 64, 3) and np.isfinite(sky).all()
+    sh = project_sh9(sky)
+    # Up-facing irradiance must exceed down-facing (sun + zenith above).
+    up = np.asarray(eval_sh9(jnp.asarray(sh), jnp.array([[0.0, 1.0, 0.0]])))
+    down = np.asarray(eval_sh9(jnp.asarray(sh),
+                               jnp.array([[0.0, -1.0, 0.0]])))
+    assert up[0].mean() > down[0].mean()
+    env = Environment(sky)
+    # Sampling straight up hits the sun-bright zenith region.
+    up_rgb = np.asarray(sample_environment(
+        env.strips, jnp.array([[0.0, 1.0, 0.0]]), jnp.float32(0.0)))
+    side_rgb = np.asarray(sample_environment(
+        env.strips, jnp.array([[1.0, 0.05, 0.0]]), jnp.float32(0.0)))
+    assert up_rgb.mean() > side_rgb.mean()
