@@ -49,6 +49,7 @@ class ViewerConfig:
     msaa: int = 1
     directional_light_shadows: bool = True
     directional_light_cascaded_shadows: bool = False
+    directional_light_shadows_vsm: bool = False
     pcf_kernel_wide: bool = False
     hdr_bloom: bool = True
     hdr_bloom_dynamic_exposure: bool = True
@@ -73,6 +74,8 @@ class ViewerConfig:
             "directionalLightShadows": "directional_light_shadows",
             "directionalLightShadowsCascaded":
                 "directional_light_cascaded_shadows",
+            "directionalLightShadowsVSM":
+                "directional_light_shadows_vsm",
             "PCFKernelWide": "pcf_kernel_wide",
             "hdrBloom": "hdr_bloom",
             "hdrBloomDynamicExposure": "hdr_bloom_dynamic_exposure",
@@ -416,12 +419,14 @@ class SceneViewerApplication(Application):
         if use_shadow:
             layers = 4 if self.config.directional_light_cascaded_shadows \
                 else 1
+            channels = 2 if self.config.directional_light_shadows_vsm \
+                else 1
             g.add_pass("shadow-main", Queue.GRAPHICS) \
                 .add_external_input("world") \
                 .add_depth_stencil_output(
                     "shadow-depth",
                     AttachmentInfo(SizeClass.ABSOLUTE, shadow_res,
-                                   shadow_res, channels=1,
+                                   shadow_res, channels=channels,
                                    layers=layers)) \
                 .set_execute(self._shadow_pass)
 
@@ -582,6 +587,9 @@ class SceneViewerApplication(Application):
             ctx.params["shadow_vp"], size,
             ctx.params["shadow_object_mask"],
             skin_palette=ctx.params.get("skin_palette"))
+        if self.config.directional_light_shadows_vsm:
+            from ..ops.shadow import vsm_moments
+            return {"shadow-depth": vsm_moments(depth)}
         return {"shadow-depth": depth}
 
     def _raster_surface(self, ctx):

@@ -135,6 +135,54 @@ def sample_directional_shadow(shadow_map, shadow_uv_mat, world_pos,
 
 
 # ---------------------------------------------------------------------------
+# Variance shadow maps (assets/shaders/lights/vsm.h + resolve_vsm.frag:
+# moments (z, z^2) blurred, Chebyshev upper bound with light-leak clamp).
+# Our maps are reverse-Z (larger = closer to the light), so the receiver
+# is potentially occluded when its depth is SMALLER than the mean.
+# ---------------------------------------------------------------------------
+
+def vsm_moments(depth, blur: bool = True):
+    """(S, S) depth -> (S, S, 2) blurred moments (the VSM resolve+blur
+    passes; 5-tap binomial approximating the reference's blur.frag)."""
+    import jax.numpy as jnp
+    m = jnp.stack([depth, depth * depth], axis=-1)
+    if not blur:
+        return m
+    k = jnp.asarray(np.array([1, 4, 6, 4, 1], np.float32) / 16.0)
+
+    def blur_axis(x, axis):
+        x = jnp.moveaxis(x, axis, 0)
+        n = x.shape[0]
+        pad = jnp.concatenate([x[:1], x[:1], x, x[-1:], x[-1:]])
+        out = sum(k[j] * pad[j:j + n] for j in range(5))
+        return jnp.moveaxis(out, 0, axis)
+
+    return blur_axis(blur_axis(m, 0), 1)
+
+
+def _vsm_term(depth, m1, m2):
+    import jax.numpy as jnp
+    variance = jnp.maximum(m2 - m1 * m1, 1e-5)
+    d = m1 - depth                       # reverse-Z: occluded if closer-0
+    term = variance / (variance + d * d)
+    term = jnp.clip((term - 0.25) / 0.75, 0.0, 1.0)  # light-leak clamp
+    return jnp.where(depth < m1, term, 1.0)
+
+
+def sample_vsm_shadow(moments, shadow_uv_mat, world_pos):
+    """Directional VSM term: bilinear moment fetch + Chebyshev."""
+    import jax.numpy as jnp
+    from .hdr import _sample_bilinear_uv
+    m = shadow_uv_mat
+    uvw = (world_pos @ m[:3, :3].T) + m[:3, 3]
+    u, v, z = uvw[..., 0], uvw[..., 1], uvw[..., 2]
+    mm = _sample_bilinear_uv(moments, u, v)
+    term = _vsm_term(z, mm[..., 0], mm[..., 1])
+    inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (z <= 1.0)
+    return jnp.where(inside, term, 1.0)
+
+
+# ---------------------------------------------------------------------------
 # Cascaded shadow maps (SHADOW_NUM_CASCADES=4 in directional.frag:8;
 # cascade selection in lighting_resources.h compute_shadow_cascade with a
 # log depth split + cross-fade band).

@@ -430,7 +430,11 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
     pos = surf["pos"]
     shadow_term = 1.0
     if shadow_map is not None:
-        if shadow_map.ndim == 3:
+        if shadow_map.ndim == 3 and shadow_map.shape[-1] == 2:
+            # (S, S, 2) VSM moments (vsm.h path).
+            from ..ops.shadow import sample_vsm_shadow
+            shadow_term = sample_vsm_shadow(shadow_map, shadow_uv_mat, pos)
+        elif shadow_map.ndim == 3:
             # (C, S, S) cascades with (C, 4, 4) uv transforms.
             from ..ops.shadow import sample_cascaded_shadow
             shadow_term = sample_cascaded_shadow(

@@ -147,3 +147,25 @@ def test_wrap_modes():
     cla = sample_array_level(strips, jnp.int32(0), u, v, jnp.int32(0),
                              wrap=WRAP_CLAMP)
     assert float(rep[0]) > float(cla[0])
+
+
+def test_vsm_chebyshev():
+    from granite_tpu.ops.shadow import vsm_moments, sample_directional_shadow, sample_vsm_shadow
+    # Occluder plane at z=0.8 (reverse-Z, closer to light); receiver at
+    # 0.3 behind it -> shadowed; receiver at 0.9 in front -> lit.
+    size = 32
+    depth = jnp.full((size, size), 0.8)
+    moments = vsm_moments(depth)
+    assert moments.shape == (size, size, 2)
+    uv_mat = jnp.asarray(np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        np.float32))
+    behind = jnp.array([[[0.5, 0.5, 0.3]]])
+    front = jnp.array([[[0.5, 0.5, 0.9]]])
+    t_b = float(np.asarray(sample_vsm_shadow(moments, uv_mat, behind)))
+    t_f = float(np.asarray(sample_vsm_shadow(moments, uv_mat, front)))
+    assert t_b < 0.05
+    assert t_f == 1.0
+    # Outside the map -> lit.
+    out = jnp.array([[[1.5, 0.5, 0.3]]])
+    assert float(np.asarray(sample_vsm_shadow(moments, uv_mat, out))) == 1.0
