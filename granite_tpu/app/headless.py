@@ -36,6 +36,9 @@ def add_headless_cli(parser: argparse.ArgumentParser) -> None:
                         dest="png_reference_path")
     parser.add_argument("--stat", type=str, default=None,
                         help="write stat JSON to this path")
+    parser.add_argument("--video-path", type=str, default=None,
+                        dest="video_path",
+                        help="encode every frame (ffmpeg or PNG sequence)")
     parser.add_argument("--warmup-frames", type=int, default=2,
                         dest="warmup_frames",
                         help="untimed compile/warmup frames")
@@ -54,6 +57,12 @@ def run_headless(app: Application, args: argparse.Namespace) -> int:
         out = app.render_frame(args.time_step or (1.0 / 60.0), 0.0)
         out.block_until_ready()
 
+    sink = None
+    if getattr(args, "video_path", None):
+        from .video_sink import VideoSink
+        sink = VideoSink(args.video_path, args.width, args.height,
+                         fps=1.0 / (args.time_step or 1 / 60))
+
     last_image = None
     t_begin = get_current_time_nsecs()
     for i in range(frames):
@@ -62,12 +71,16 @@ def run_headless(app: Application, args: argparse.Namespace) -> int:
         app.device.frame().track(out)
         app.device.next_frame_context()
         app.post_frame()
+        if sink is not None:
+            sink.push_frame(np.asarray(out))
         last_image = out
     # One sync at the end: remote TPU readbacks cost ~35 ms each, so the
     # loop must stay fully pipelined (the reference pipelines frames the
     # same way via its swapchain ring).  averageFrameTimeUs is the
     # pipelined throughput, like the reference's headless counter.
     np.asarray(last_image[0, 0:1])
+    if sink is not None:
+        sink.close()
     total_s = (get_current_time_nsecs() - t_begin) * 1e-9
     for _ in range(frames):
         stats.add_frame(total_s / frames)
