@@ -780,6 +780,27 @@ class SceneViewerApplication(Application):
     def render_frame(self, frame_time: float, elapsed_time: float):
         scene = self.scene
         self.animation_system.animate(elapsed_time)
+
+        # Static-frame fast path: when nothing time-varying is active
+        # (no animations/ocean/TAA, camera unchanged, fixed step), reuse
+        # last frame's device params wholesale — host->device uploads
+        # through the remote TPU tunnel cost ~35 ms EACH, and a static
+        # scene re-uploads nothing (the reference likewise persists
+        # static UBOs/SSBOs across frames).
+        sig = (tuple(np.asarray(self.camera.position).tolist()),
+               tuple(np.asarray(self.camera.rotation).tolist()),
+               float(frame_time), len(self.animation_system.states),
+               self.ocean is not None, self._jitter is not None,
+               self.config.show_ui)
+        cached = getattr(self, "_param_cache", None)
+        if cached is not None and cached[0] == sig and \
+                not self.animation_system.states and \
+                not self.config.show_ui and self.ocean is None and \
+                self._jitter is None:
+            out, self._history = self.graph.execute(cached[1],
+                                                    self._history)
+            return out
+
         scene.update_transform_tree()
         self.context.set_camera(self.camera)
         self.context.set_lighting(self._sun_dir, self._sun_color)
@@ -882,6 +903,7 @@ class SceneViewerApplication(Application):
                 self.graph, params, self._history, device=self.device)
             self._last_breadcrumbs = crumbs
             return out
+        self._param_cache = (sig, params)
         out, self._history = self.graph.execute(params, self._history)
         return out
 
