@@ -121,7 +121,14 @@ def build_default_test_scene() -> SceneInfo:
                                                 np.float32),
                      roughness_factor=0.25, metallic_factor=1.0),
     ]
-    info.meshes = [plane_mesh(0, tiles=8.0), cube_mesh(1), sphere_mesh(24, 2)]
+    from ..scene.scene_formats import ALPHA_MODE_BLEND
+    info.materials.append(MaterialData(
+        name="glass",
+        base_color_factor=np.array([0.4, 0.7, 0.9, 0.45], np.float32),
+        roughness_factor=0.1, metallic_factor=0.0,
+        alpha_mode=ALPHA_MODE_BLEND))
+    info.meshes = [plane_mesh(0, tiles=8.0), cube_mesh(1), sphere_mesh(24, 2),
+                   sphere_mesh(20, 3)]
     root = NodeData(name="root")
     nodes = [root]
     floor = NodeData(name="floor", scale=np.array([12, 1, 12], np.float32),
@@ -140,6 +147,9 @@ def build_default_test_scene() -> SceneInfo:
             scale=np.full(3, 0.7 + 0.3 * rng.rand(), np.float32),
             meshes=[1 + kind])
         nodes.append(nd)
+    nodes.append(NodeData(name="glass_sphere",
+                          translation=np.array([0, 1.4, 0], np.float32),
+                          scale=np.full(3, 1.2, np.float32), meshes=[3]))
     # A ring of colored point lights (KHR_lights_punctual) for the
     # clustered path, plus one spot light.
     from ..scene.scene_formats import LightData, LIGHT_POINT, LIGHT_SPOT
@@ -318,6 +328,7 @@ class SceneViewerApplication(Application):
         # last; see pack_scene's stable sort).
         from ..scene.scene import (
             RENDERABLE_CASTS_SHADOW, RENDERABLE_DYNAMIC, RENDERABLE_OPAQUE,
+            RENDERABLE_TRANSPARENT,
         )
         instances = []
         for i, nd in enumerate(info.nodes):
@@ -326,8 +337,14 @@ class SceneViewerApplication(Application):
                 skinned = nd.skin is not None and md.joints is not None
                 instances.append((skinned, i, mesh_idx, md))
         instances.sort(key=lambda x: x[0])
+        from ..scene.scene_formats import ALPHA_MODE_BLEND
         for skinned, i, mesh_idx, md in instances:
-            flags = RENDERABLE_OPAQUE | RENDERABLE_CASTS_SHADOW
+            mat = info.materials[md.material] if (
+                0 <= md.material < len(info.materials)) else None
+            transparent = mat is not None and \
+                mat.alpha_mode == ALPHA_MODE_BLEND
+            flags = RENDERABLE_CASTS_SHADOW | (
+                RENDERABLE_TRANSPARENT if transparent else RENDERABLE_OPAQUE)
             if skinned:
                 flags |= RENDERABLE_DYNAMIC
             s.add_renderable(i, mesh_idx, flags, md.aabb_min, md.aabb_max)
@@ -385,6 +402,9 @@ class SceneViewerApplication(Application):
         self._has_lights = any(
             nd.light is not None and self.info.lights[nd.light].type != 0
             for nd in self.info.nodes)
+        from ..scene.scene import RENDERABLE_TRANSPARENT
+        self._has_transparent = bool(
+            (self.packed.obj_flags & RENDERABLE_TRANSPARENT).any())
         zn = max(self.camera.znear, 1e-3)
         zf = self.camera.zfar if self.camera.zfar > 0 else 1000.0
         self._cluster_range = (zn, zf)
@@ -464,9 +484,14 @@ class SceneViewerApplication(Application):
                 .add_attachment_input("g-emissive") \
                 .add_attachment_input("g-pos") \
                 .add_attachment_input("g-covered") \
+                .add_attachment_input("depth-main") \
+                .add_external_input("world") \
+                .add_external_input("normal_mats") \
                 .add_color_output("hdr", rel(1, 3))
             if use_shadow:
                 light.add_texture_input("shadow-depth")
+            if self.ocean is not None:
+                light.add_texture_input("ocean-maps")
             light.set_execute(self._lighting_pass)
         else:
             forward = g.add_pass("forward", Queue.GRAPHICS) \
@@ -592,7 +617,7 @@ class SceneViewerApplication(Application):
             return {"shadow-depth": vsm_moments(depth)}
         return {"shadow-depth": depth}
 
-    def _raster_surface(self, ctx):
+    def _transform(self, ctx):
         p = ctx.params
         displace_fn = None
         if self.ocean is not None:
@@ -600,10 +625,33 @@ class SceneViewerApplication(Application):
             vmask = self._ocean_vmask
             displace_fn = lambda pos, nrm: self.ocean.displace(
                 pos, nrm, vmask, maps)
-        clip, wpos, wnrm, wtan = transform_vertices(
+        return transform_vertices(
             self.packed, ctx.input("world"), ctx.input("normal_mats"),
             p["view_proj"], displace_fn=displace_fn,
             skin_palette=p.get("skin_palette"))
+
+    def _apply_transparent(self, ctx, hdr, depth):
+        """Transparent queue over the lit frame (Queue::Transparent)."""
+        if not self._has_transparent:
+            return hdr
+        from ..renderer.scene_renderer import transparent_composite
+        from ..ops import raster as R
+        p = ctx.params
+        clip, wpos, wnrm, wtan = self._transform(ctx)
+        setup = R.setup_triangles(clip, self.packed.indices, self._rw,
+                                  self._rh, cull_mode=R.CULL_NONE)
+        kw = self._light_kwargs(ctx)
+        kw.pop("background", None)
+        kw.pop("width", None)
+        kw.pop("height", None)
+        return transparent_composite(
+            self.packed, setup, depth, hdr, clip,
+            p["transparent_mask"], p, width=self._rw, height=self._rh,
+            world_pos=wpos, world_normal=wnrm, world_tangent=wtan, **kw)
+
+    def _raster_surface(self, ctx):
+        p = ctx.params
+        clip, wpos, wnrm, wtan = self._transform(ctx)
         object_mask = p["object_mask"]
         if self.config.occlusion_culling:
             # HiZ occlusion cull against LAST frame's depth (carried as
@@ -648,6 +696,7 @@ class SceneViewerApplication(Application):
     def _forward_pass(self, ctx):
         surf, depth = self._raster_surface(ctx)
         color = shade_surface(surf, ctx.params, **self._light_kwargs(ctx))
+        color = self._apply_transparent(ctx, color, depth)
         return {"hdr": color, "depth-main": depth}
 
     def _gbuffer_pass(self, ctx):
@@ -667,6 +716,11 @@ class SceneViewerApplication(Application):
                 "pos": ctx.input("g-pos"),
                 "covered": ctx.input("g-covered")}
         color = shade_surface(surf, ctx.params, **self._light_kwargs(ctx))
+        # Transparent queue forward-renders even in deferred (the
+        # reference does the same); XLA CSE merges the re-derived
+        # transforms with the G-buffer pass inside the fused program.
+        color = self._apply_transparent(ctx, color,
+                                        ctx.input("depth-main"))
         return {"hdr": color}
 
     def _taa_pass(self, ctx):
@@ -816,6 +870,11 @@ class SceneViewerApplication(Application):
         vis = scene.gather_visible_opaque_renderables(self.context.frustum)
         object_mask = np.zeros(self.packed.num_objects, bool)
         object_mask[vis] = True
+        transparent_mask = np.zeros(self.packed.num_objects, bool)
+        if self._has_transparent:
+            transparent_mask[scene.gather_visible_transparent_renderables(
+                self.context.frustum)] = True
+            object_mask &= ~transparent_mask
 
         mn = scene.r_world_min.min(axis=0)
         mx = scene.r_world_max.max(axis=0)
@@ -866,6 +925,7 @@ class SceneViewerApplication(Application):
             "sun_dir": jnp.asarray(self._sun_dir),
             "sun_color": jnp.asarray(self._sun_color),
             "object_mask": jnp.asarray(object_mask),
+            "transparent_mask": jnp.asarray(transparent_mask),
             "shadow_object_mask": jnp.asarray(shadow_mask),
             "shadow_vp": jnp.asarray(light_vp),
             "shadow_uv_mat": jnp.asarray(

@@ -405,9 +405,10 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
     else:
         emissive = jnp.zeros_like(base_color)
 
+    alpha = base_factor[..., 3] * base_tex[..., 3]
     return {"pos": pos, "normal": n_mapped, "base_color": base_color,
             "metallic": metallic, "roughness": roughness,
-            "emissive": emissive, "covered": covered}
+            "emissive": emissive, "covered": covered, "alpha": alpha}
 
 
 def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
@@ -498,6 +499,38 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
         else:
             background = jnp.zeros(3, jnp.float32)
     return jnp.where(surf["covered"][..., None], color, background)
+
+
+def transparent_composite(scene: PackedScene, setup, opaque_depth,
+                          opaque_hdr, clip, transparent_mask, params,
+                          width: int, height: int, **light_kw):
+    """Transparent queue (renderer.hpp Queue::Transparent): blended
+    materials render AFTER opaque lighting, forward-shaded and
+    alpha-blended over the lit frame, depth-tested against the opaque
+    depth (no depth write).  Single visibility layer: overlapping
+    transparent surfaces resolve to the nearest (the reference sorts
+    back-to-front per draw; a depth-peeling pass chain is future work).
+    """
+    tri_visible = transparent_mask[scene.tri_object]
+    tsetup = setup._replace(valid=setup.valid & tri_visible)
+    if jax.default_backend() == "cpu":
+        tdepth, ttri = R.rasterize(tsetup, width, height)
+    else:
+        from ..ops.raster_binned import rasterize_binned
+        tdepth, ttri = rasterize_binned(tsetup, width, height,
+                                        interpret=False)
+    # Depth test against opaque (reverse-Z GREATER), no write.
+    visible = (ttri >= 0) & (tdepth > opaque_depth)
+    ttri = jnp.where(visible, ttri, -1)
+    surf = surface_attributes(scene, tsetup, ttri,
+                              light_kw.pop("world_pos"),
+                              light_kw.pop("world_normal"),
+                              light_kw.pop("world_tangent"),
+                              width, height)
+    color = shade_surface(surf, params, width=width, height=height,
+                          background=jnp.zeros(3, jnp.float32), **light_kw)
+    a = jnp.where(visible, surf["alpha"], 0.0)[..., None]
+    return opaque_hdr * (1.0 - a) + color * a
 
 
 def forward_shade(scene: PackedScene, setup, depth, tri, world_pos,
