@@ -206,8 +206,13 @@ class SceneViewerApplication(Application):
             info = build_bench_scene()
             LOGI("Using Sponza-class bench scene")
         elif args and getattr(args, "scene", None):
-            from ..scene.gltf import GLTFParser
-            info = GLTFParser(args.scene).get_scene()
+            from ..scene.scene_loader import SceneLoader
+            loader = SceneLoader(args.scene)
+            info = loader.get_scene()
+            if loader.ocean_config is not None:
+                self.config.ocean = True
+            if loader.terrain_config is not None:
+                self.config.terrain = True
             LOGI("Loaded scene %s", args.scene)
         else:
             info = build_default_test_scene()

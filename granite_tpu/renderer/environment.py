@@ -124,8 +124,11 @@ class Environment:
 
 
 def sample_environment(strips, dirs, lod):
-    """Sample the equirect env by direction (..., 3) at a given lod."""
-    from ..ops.texture import sample_array_trilinear
+    """Sample the equirect env by direction (..., 3) at a given lod.
+
+    An integer (Python) lod takes the single-level bilinear path — half
+    the gathers; used for the sky background (always level 0)."""
+    from ..ops.texture import sample_array_level, sample_array_trilinear
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     n = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
     theta = jnp.arccos(jnp.clip(y / n, -1.0, 1.0))
@@ -135,5 +138,8 @@ def sample_environment(strips, dirs, lod):
     # which is right for azimuth but would pull the opposite pole row in.
     s = strips.shape[2]
     v = jnp.clip(theta / jnp.pi, 0.5 / s, 1.0 - 0.5 / s)
+    if isinstance(lod, int):
+        return sample_array_level(strips, jnp.int32(0), u, v,
+                                  jnp.int32(lod), wrap=0)[..., :3]
     return sample_array_trilinear(strips, jnp.int32(0), u, v, lod,
                                   wrap=0)[..., :3]

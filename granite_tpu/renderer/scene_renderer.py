@@ -495,7 +495,7 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
             dirs = wp[..., :3] / jnp.where(
                 jnp.abs(wp[..., 3:4]) < 1e-20, 1e-20, wp[..., 3:4]) \
                 - params["camera_pos"]
-            background = _se(env["strips"], dirs, jnp.float32(0.0))
+            background = _se(env["strips"], dirs, 0)   # level-0 bilinear
         else:
             background = jnp.zeros(3, jnp.float32)
     return jnp.where(surf["covered"][..., None], color, background)

@@ -140,3 +140,39 @@ def test_camera():
     f = cam.get_front()
     assert abs(f[1]) < 1e-5 and abs(np.linalg.norm(f) - 1) < 1e-5
     assert f[0] < -0.9  # yawed left 90 degrees -> facing -X
+
+
+def test_scene_loader_composition(tmp_path):
+    # Export a small glTF, compose it twice with per-instance transforms
+    # via a .scene document (scene_loader.cpp analogue), and verify the
+    # merged SceneInfo.
+    import json
+    from granite_tpu.scene.scene_loader import SceneLoader
+    info = _make_scene()
+    export_gltf(info, str(tmp_path / "part.gltf"))
+    doc = {"scenes": [{
+        "path": "part.gltf",
+        "instances": [
+            {"translation": [10, 0, 0]},
+            {"translation": [-10, 0, 0], "scale": [2, 2, 2]},
+        ]}],
+        "terrain": True}
+    (tmp_path / "world.scene").write_text(json.dumps(doc))
+    loader = SceneLoader(str(tmp_path / "world.scene"))
+    merged = loader.get_scene()
+    assert loader.terrain_config is not None
+    assert len(merged.meshes) == len(info.meshes)       # shared, not dup
+    assert len(merged.roots) == 2
+    assert len(merged.nodes) == 2 * (len(info.nodes) + 1)
+    r0 = merged.nodes[merged.roots[0]]
+    r1 = merged.nodes[merged.roots[1]]
+    assert np.allclose(r0.translation, [10, 0, 0])
+    assert np.allclose(r1.scale, [2, 2, 2])
+    # Children remapped into the merged node table and lights carried.
+    assert all(0 <= c < len(merged.nodes) for c in r0.children)
+    assert len(merged.lights) == len(info.lights)
+    # Renders through the full pipeline (smoke): pack it.
+    from granite_tpu.renderer.scene_renderer import pack_scene
+    packed = pack_scene(merged)
+    assert packed.num_objects == 2 * sum(
+        len(n.meshes) for n in info.nodes)
