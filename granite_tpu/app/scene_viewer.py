@@ -191,6 +191,8 @@ class SceneViewerApplication(Application):
                             help="glTF/GLB scene path")
         parser.add_argument("--config", type=str, default=None,
                             help="config.json path (reference schema)")
+        parser.add_argument("--quirks", type=str, default=None,
+                            help="quirks.json (accepted; knobs logged)")
         parser.add_argument("--camera-index", type=int, default=-1)
         parser.add_argument("--bench-scene", action="store_true",
                             dest="bench_scene",
@@ -201,6 +203,14 @@ class SceneViewerApplication(Application):
         self.config = (ViewerConfig.from_json(args.config)
                        if args and getattr(args, "config", None)
                        else ViewerConfig())
+        if args and getattr(args, "quirks", None):
+            # quirks.json (scene_viewer_application.cpp:130): workaround
+            # toggles for driver bugs — none apply to the XLA backend, so
+            # knobs are accepted and logged for compatibility.
+            with open(args.quirks) as f:
+                for k, v in json.load(f).items():
+                    LOGW("quirk '%s'=%s has no TPU analogue; ignored",
+                         k, v)
         if args and getattr(args, "bench_scene", False):
             from .bench_scene import build_bench_scene
             info = build_bench_scene()
