@@ -29,16 +29,18 @@ def bench_deferred_hdr(width=1920, height=1080, frames=12):
     from granite_tpu.app.scene_viewer import SceneViewerApplication
     args = types.SimpleNamespace(scene=None, config=cfg_path,
                                  camera_index=-1, bench_scene=True)
+    import numpy as np
     app = SceneViewerApplication(args)
     app.swapchain_updated(width, height)
-    # Warmup/compile.
-    app.render_frame(1 / 60, 0.0).block_until_ready()
-    app.render_frame(1 / 60, 1 / 60).block_until_ready()
+    # Warmup/compile.  block_until_ready() does NOT wait on the axon
+    # tunnel (CLAUDE.md) — a tiny readback is the only true fence.
+    np.asarray(app.render_frame(1 / 60, 0.0)[0, 0:1])
+    np.asarray(app.render_frame(1 / 60, 1 / 60)[0, 0:1])
     t0 = time.monotonic_ns()
     out = None
     for i in range(frames):
         out = app.render_frame(1 / 60, (i + 2) / 60)
-    out.block_until_ready()
+    np.asarray(out[0, 0:1])
     dt_ms = (time.monotonic_ns() - t0) / 1e6 / frames
     return {
         "metric": "frame_time_ms_deferred_hdr_sponza_class_1080p",

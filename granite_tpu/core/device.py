@@ -88,11 +88,24 @@ class FrameContext:
         self.recycle: list[Any] = []     # deferred-destroy analogue
 
     def begin(self) -> None:
-        for arr in self.in_flight:
+        # block_until_ready() does not actually wait on the axon tunnel
+        # (CLAUDE.md); the only true fence is a readback.  Concatenate one
+        # element per in-flight array into a single tiny probe so the
+        # fence costs one ~35 ms round trip, not one per array.
+        if self.in_flight:
             try:
-                arr.block_until_ready()
+                import jax.numpy as jnp
+                import numpy as np
+                probe = jnp.concatenate([
+                    jnp.ravel(a)[:1].astype(jnp.float32)
+                    for a in self.in_flight])
+                np.asarray(probe)
             except Exception:
-                pass
+                for arr in self.in_flight:
+                    try:
+                        arr.block_until_ready()
+                    except Exception:
+                        pass
         self.in_flight.clear()
         self.recycle.clear()
 

@@ -65,7 +65,22 @@ class OSFilesystem(FilesystemBackend):
         self._next_handle = 1
 
     def _full(self, path: str) -> str:
-        return os.path.join(self.base, path) if path else self.base
+        """Resolve `path` under base, confined to base.
+
+        Absolute paths and '..' escapes are clamped: os.path.join discards
+        base for absolute inputs, so strip leading separators and verify
+        the realpath stays inside the served root (a netfs server hands
+        client-supplied paths straight here).
+        """
+        if not path:
+            return self.base
+        full = os.path.join(self.base, path.lstrip("/\\"))
+        resolved = os.path.realpath(full)
+        root = os.path.realpath(self.base)
+        prefix = root if root.endswith(os.sep) else root + os.sep
+        if resolved != root and not resolved.startswith(prefix):
+            raise PermissionError(f"path escapes filesystem root: {path}")
+        return full
 
     def read_file(self, path: str) -> Optional[bytes]:
         try:
@@ -75,9 +90,9 @@ class OSFilesystem(FilesystemBackend):
             return None
 
     def write_file(self, path: str, data: bytes) -> bool:
-        full = self._full(path)
-        os.makedirs(os.path.dirname(full) or ".", exist_ok=True)
         try:
+            full = self._full(path)
+            os.makedirs(os.path.dirname(full) or ".", exist_ok=True)
             with open(full, "wb") as f:
                 f.write(data)
             return True

@@ -1,14 +1,18 @@
 """ctypes bindings for the native host library (granite_native.cpp).
 
-Built on first use with g++ -O2 -shared; the .so is cached next to the
-source keyed by source mtime.  All entry points have pure-Python
-behavioral twins in tests (decode correctness is validated against
-straightforward numpy reference decoders).
+Built from source on first use with g++ -O2 -shared; the .so is cached
+next to the source keyed by a source CONTENT HASH embedded in the file
+name (mtime is unreliable after a fresh checkout, where source and a
+stale binary share the checkout time).  The binary is never committed.
+All entry points have pure-Python behavioral twins in tests (decode
+correctness is validated against straightforward numpy reference
+decoders).
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -16,21 +20,28 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "granite_native.cpp")
-_SO = os.path.join(_DIR, "libgranite_native.so")
 
 _lib = None
+
+
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_DIR, f"libgranite_native-{digest}.so")
 
 
 def get_lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+    so = _so_path()
+    if not os.path.exists(so):
+        tmp = so + f".tmp{os.getpid()}"
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
-             "-o", _SO], check=True)
-    lib = ctypes.CDLL(_SO)
+             "-o", tmp], check=True)
+        os.replace(tmp, so)   # atomic vs concurrent builders
+    lib = ctypes.CDLL(so)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)

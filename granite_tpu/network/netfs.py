@@ -27,6 +27,11 @@ from ..utils.logging import LOGI, LOGW
 OP_READ, OP_STAT, OP_LIST, OP_WRITE = 1, 2, 3, 4
 OK, NOT_FOUND, ERROR = 0, 1, 2
 
+# Request-size caps: unbounded length prefixes would let a client make the
+# server allocate arbitrary memory before any validation runs.
+MAX_PATH_LEN = 4096
+MAX_PAYLOAD_LEN = 256 * 1024 * 1024
+
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
     buf = b""
@@ -85,29 +90,45 @@ class NetfsServer:
             while True:
                 head = _recv_exact(conn, 8)
                 op, plen = struct.unpack("<II", head)
+                if plen > MAX_PATH_LEN:
+                    LOGW("netfs: path length %d exceeds cap, dropping "
+                         "connection", plen)
+                    return
                 path = _recv_exact(conn, plen).decode("utf-8")
                 if op == OP_WRITE:
                     (dlen,) = struct.unpack("<Q", _recv_exact(conn, 8))
+                    if dlen > MAX_PAYLOAD_LEN:
+                        LOGW("netfs: payload %d exceeds cap, dropping "
+                             "connection", dlen)
+                        return
                     data = _recv_exact(conn, dlen)
-                    ok = self.backend.write_file(path, data)
-                    _send_response(conn, OK if ok else ERROR)
-                elif op == OP_READ:
-                    data = self.backend.read_file(path)
-                    if data is None:
-                        _send_response(conn, NOT_FOUND)
+                # Backends confine paths themselves (OSFilesystem._full
+                # realpath check); treat any backend raise as ERROR
+                # rather than killing the connection.
+                try:
+                    if op == OP_WRITE:
+                        ok = self.backend.write_file(path, data)
+                        _send_response(conn, OK if ok else ERROR)
+                    elif op == OP_READ:
+                        rdata = self.backend.read_file(path)
+                        if rdata is None:
+                            _send_response(conn, NOT_FOUND)
+                        else:
+                            _send_response(conn, OK, rdata)
+                    elif op == OP_STAT:
+                        st = self.backend.stat(path)
+                        if st is None:
+                            _send_response(conn, NOT_FOUND)
+                        else:
+                            _send_response(conn, OK,
+                                           json.dumps(st).encode())
+                    elif op == OP_LIST:
+                        _send_response(conn, OK, json.dumps(
+                            self.backend.list_dir(path)).encode())
                     else:
-                        _send_response(conn, OK, data)
-                elif op == OP_STAT:
-                    st = self.backend.stat(path)
-                    if st is None:
-                        _send_response(conn, NOT_FOUND)
-                    else:
-                        _send_response(conn, OK,
-                                       json.dumps(st).encode())
-                elif op == OP_LIST:
-                    _send_response(conn, OK, json.dumps(
-                        self.backend.list_dir(path)).encode())
-                else:
+                        _send_response(conn, ERROR)
+                except Exception as e:  # noqa: BLE001 — serve loop
+                    LOGW("netfs: request failed: %s", e)
                     _send_response(conn, ERROR)
         except (ConnectionError, OSError):
             pass

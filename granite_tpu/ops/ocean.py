@@ -29,7 +29,12 @@ def alias_freq(n: int) -> np.ndarray:
 
 def phillips(kx, ky, max_l: float, wind_dir, L: float):
     k_len = np.sqrt(kx * kx + ky * ky)
-    safe = np.maximum(k_len, 1e-12)
+    # Clamp to the smallest nonzero |k| actually present so safe**-4
+    # stays finite in float32 (1e-12**-4 overflows to inf -> inf*0 NaN
+    # before the final mask); the DC bin is zeroed by the where anyway.
+    nonzero = k_len[k_len > 0.0]
+    floor = float(nonzero.min()) if nonzero.size else 1.0
+    safe = np.maximum(k_len, floor)
     kw = (kx * wind_dir[0] + ky * wind_dir[1]) / safe
     kL = safe * L
     p = (kw * kw

@@ -61,11 +61,18 @@ def shard_frame_step(graph, mesh: Mesh):
             lambda leaf: _row_sharded(mesh, leaf), outputs)
 
     # Two-phase: trace once to learn output shapes, then jit with
-    # shardings derived from them.
+    # shardings derived from them.  The jitted fn is cached after the
+    # first call so per-frame use costs no re-trace (eval_shape) and no
+    # fresh jit wrapper — jax.jit then hits its own executable cache.
+    cache: dict = {}
+
     def runner(params, history):
-        shapes = jax.eval_shape(step, params, history)
-        shardings = out_shardings(shapes)
-        fn = jax.jit(sharded_step, out_shardings=shardings)
+        fn = cache.get("fn")
+        if fn is None:
+            shapes = jax.eval_shape(step, params, history)
+            shardings = out_shardings(shapes)
+            fn = cache["fn"] = jax.jit(sharded_step,
+                                       out_shardings=shardings)
         return fn(params, history)
 
     return runner
