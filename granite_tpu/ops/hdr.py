@@ -28,26 +28,27 @@ LUM_MAX_LOG = 2.0
 
 
 def _sample_bilinear_uv(img, u, v):
-    """Bilinear sample of (H, W, C) at normalized UV (clamp-to-edge)."""
+    """Bilinear sample of (H, W, C) at normalized UV (clamp-to-edge).
+
+    Quad-packs the image with VPU shifts (ops/texture.quad_pack2d) and
+    fetches the whole footprint in ONE single-index gather; clamped
+    start + clipped frac reproduces clamp-to-edge exactly (outside
+    coords give frac 0 or 1, collapsing onto the border texel).
+    """
+    from .texture import quad_pack2d
     h, w = img.shape[:2]
+    C = img.shape[2]
+    packed = quad_pack2d(img)                       # (H, W, 4C)
     x = u * w - 0.5
     y = v * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    # Clamp each texel independently from the UNclamped floor — true
-    # clamp-to-edge (both taps collapse onto the border texel outside).
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
-    t00 = img[y0i, x0i]
-    t10 = img[y0i, x1i]
-    t01 = img[y1i, x0i]
-    t11 = img[y1i, x1i]
-    return ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
-            + (t01 * (1 - fx) + t11 * fx) * fy)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    fx = jnp.clip(x - x0.astype(x.dtype), 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - y0.astype(y.dtype), 0.0, 1.0)[..., None]
+    quad = packed[y0, x0].reshape(y0.shape + (4, C))
+    return ((quad[..., 0, :] * (1 - fx) + quad[..., 1, :] * fx)
+            * (1 - fy)
+            + (quad[..., 2, :] * (1 - fx) + quad[..., 3, :] * fx) * fy)
 
 
 def _upsample_axis_int(img, f: int, axis: int):

@@ -60,24 +60,24 @@ def _compare(ref_z, stored, bias):
 
 def pcf_2x2(shadow_map, u, v, ref_z, bias: float = 1e-3):
     """Hardware-style bilinear 2x2 percentage-closer compare
-    (the default SAMPLE_PCF_KERNEL path, pcf.h textureProjLod)."""
+    (the default SAMPLE_PCF_KERNEL path, pcf.h textureProjLod).
+
+    Quad-packs the map with VPU shifts and fetches the 2x2 footprint in
+    ONE single-index gather (ops/texture.py gather economics)."""
+    from .texture import quad_pack2d
     h, w = shadow_map.shape[:2]
+    packed = quad_pack2d(shadow_map[..., None])      # (H, W, 4)
     x = u * w - 0.5
     y = v * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    c00 = _compare(ref_z, shadow_map[y0i, x0i], bias)
-    c10 = _compare(ref_z, shadow_map[y0i, x1i], bias)
-    c01 = _compare(ref_z, shadow_map[y1i, x0i], bias)
-    c11 = _compare(ref_z, shadow_map[y1i, x1i], bias)
-    top = c00 * (1 - fx) + c10 * fx
-    bot = c01 * (1 - fx) + c11 * fx
+    # Clamped start + adjusted frac == per-texel clamp of the old path
+    # (the packed +1 taps are edge copies at the border).
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    fx = jnp.clip(x - x0.astype(x.dtype), 0.0, 1.0)
+    fy = jnp.clip(y - y0.astype(y.dtype), 0.0, 1.0)
+    c = _compare(ref_z[..., None], packed[y0, x0], bias)   # (..., 4)
+    top = c[..., 0] * (1 - fx) + c[..., 1] * fx
+    bot = c[..., 2] * (1 - fx) + c[..., 3] * fx
     term = top * (1 - fy) + bot * fy
     # Outside the light frustum -> fully lit (white border sampler).
     inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (ref_z <= 1.0)
@@ -97,26 +97,35 @@ def pcf_wide(shadow_map, u, v, ref_z, bias: float = 1e-3):
     reference's windowing weights; fully vectorized (36 gathers fused by
     XLA into one loop nest).
     """
+    from .texture import quad_pack2d
     h, w = shadow_map.shape[:2]
+    packed = quad_pack2d(shadow_map[..., None])      # (H, W, 4)
     x = u * w - 0.5
     y = v * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = x - x0
     fy = y - y0
+    # Nine quad fetches at even offsets cover the 6x6 tap window (9
+    # gathers instead of 36; border blocks clamp the whole 2x2 instead
+    # of per tap — identical away from the outer shadow-map texels,
+    # which the frustum-fit matrices never map receivers to).
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
     acc = 0.0
     total_w = 0.0
-    for dy in range(-2, 4):
-        wy = _pcf_kernel_weight(dy - fy)
-        yi = jnp.clip(y0i + dy, 0, h - 1)
-        for dx in range(-2, 4):
-            wx = _pcf_kernel_weight(dx - fx)
-            xi = jnp.clip(x0i + dx, 0, w - 1)
-            wgt = wx * wy
-            acc = acc + wgt * _compare(ref_z, shadow_map[yi, xi], bias)
-            total_w = total_w + wgt
+    for by in (-2, 0, 2):
+        yb = jnp.clip(y0i + by, 0, h - 1)
+        for bx in (-2, 0, 2):
+            xb = jnp.clip(x0i + bx, 0, w - 1)
+            quad = packed[yb, xb]                    # (..., 4)
+            c = _compare(ref_z[..., None], quad, bias)
+            for k, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0),
+                                          (1, 1))):
+                wgt = (_pcf_kernel_weight(by + dy - fy)
+                       * _pcf_kernel_weight(bx + dx - fx))
+                acc = acc + wgt * c[..., k]
+                total_w = total_w + wgt
     term = acc / total_w
     inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (ref_z <= 1.0)
     return jnp.where(inside, term, 1.0)

@@ -14,12 +14,41 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
 
 FILTER_NEAREST = 0
 FILTER_LINEAR = 1
+
+
+# ---------------------------------------------------------------------------
+# TPU gather economics (measured on v5e, 2M indices):
+#   * one single-index gather (arr[i] / arr[b,y,x]) costs ~22ms random /
+#     ~6ms coherent, INDEPENDENT of the payload width per index;
+#   * N separate gathers cost N times that;
+#   * lax.gather with slice_sizes>1 ("patch gather") is ~200x SLOWER —
+#     never use it in a hot path.
+# Therefore every filtering footprint is fetched as ONE single-index
+# gather of a pre-packed wide payload: the 2x2 bilinear taps are stored
+# as extra channels ("quad packing", memory x4), built either offline
+# (textures) or with cheap VPU shifts per frame (shadow maps, history).
+# ---------------------------------------------------------------------------
+
+
+def quad_pack2d(img: jax.Array) -> jax.Array:
+    """(H, W, C) -> (H, W, 4C) with channels [t00 | t10 | t01 | t11]
+    where t10 is the +x neighbor and t01 the +y neighbor, edge-clamped.
+
+    One gather of the packed image at (y0, x0) returns the full bilinear
+    footprint.  Pure shifts — no gathers — so packing a per-frame image
+    costs only VPU bandwidth.
+    """
+    p = jnp.pad(img, ((0, 1), (0, 1)) + ((0, 0),) * (img.ndim - 2),
+                mode="edge")
+    return jnp.concatenate(
+        [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], axis=-1)
 
 
 def num_mip_levels(h: int, w: int) -> int:
@@ -183,6 +212,131 @@ def sample_array_trilinear(strips: jax.Array, tex_id, u, v, lod,
     a = sample_array_level(strips, tex_id, u, v, l0, wrap)
     b = sample_array_level(strips, tex_id, u, v, jnp.minimum(l0 + 1, L - 1),
                            wrap)
+    return a * (1 - frac) + b * frac
+
+
+# ---------------------------------------------------------------------------
+# Gutter-strip layout + quad packing — the single-gather sampling path.
+#
+# Mip strip with a +1 gutter row/column per level so a bilinear footprint
+# is ALWAYS a contiguous 2x2 patch (wrap/clamp behavior is baked into the
+# gutter texels at build time).  The strip is then QUAD-PACKED: texel
+# (y, x) stores [self | +x | +y | +x+y] as 4C channels, so ONE
+# single-index gather returns the whole bilinear footprint (see gather
+# economics above).  Memory is 4x the plain strip = 8x the base image.
+#
+# Level l of a base-size-S strip: ls = S>>l texels, rows
+# [off, off+ls) with off = 2S - (2S>>l) + l, cols [0, ls); gutter row at
+# off+ls, gutter col at ls.  Strip HS = 2S + L - 1, WS = S + 1; the
+# packed array is (HS-1, (WS-1) * 4C) = (HS-1, S*4C).
+# ---------------------------------------------------------------------------
+
+def gutter_strip_height(size: int) -> int:
+    return 2 * size + num_mip_levels(size, size) - 1
+
+
+def gutter_row_offset(size: int, level):
+    return 2 * size - (jnp.int32(2 * size) >> level) + level
+
+
+def build_gutter_strip_np(img, wrap: int = WRAP_REPEAT,
+                          dtype="float32"):
+    """(S, S, C) float -> (HS, S+1, C) gutter strip (numpy, load-time)."""
+    import numpy as np
+    s, s2, C = img.shape
+    assert s == s2 and (s & (s - 1)) == 0, "square pow2 required"
+    L = num_mip_levels(s, s)
+    HS, WS = gutter_strip_height(s), s + 1
+    out = np.zeros((HS, WS, C), np.float32)
+    cur = np.asarray(img, np.float32)
+    off = 0
+    for l in range(L):
+        ls = max(s >> l, 1)
+        ext = np.zeros((ls + 1, ls + 1, C), np.float32)
+        ext[:ls, :ls] = cur
+        if wrap == WRAP_REPEAT:
+            ext[:ls, ls] = cur[:, 0]
+            ext[ls, :ls] = cur[0, :]
+            ext[ls, ls] = cur[0, 0]
+        else:
+            ext[:ls, ls] = cur[:, -1]
+            ext[ls, :ls] = cur[-1, :]
+            ext[ls, ls] = cur[-1, -1]
+        out[off:off + ls + 1, :ls + 1] = ext
+        off += ls + 1
+        if ls > 1:
+            cur = cur[:ls // 2 * 2, :ls // 2 * 2] \
+                .reshape(ls // 2, 2, ls // 2, 2, C).mean(axis=(1, 3))
+    return out.astype(dtype)
+
+
+def build_packed_strip_np(img, wrap: int = WRAP_REPEAT, dtype="float16"):
+    """(S, S, C) float -> (HS-1, S, 4C) quad-packed gutter strip.
+
+    One single-index gather of texel (y, x) fetches the whole 2x2
+    bilinear footprint: channels are [t00 | t10 | t01 | t11].  The
+    gutter makes the +1 taps correct at every level border for the
+    given wrap mode.
+    """
+    import numpy as np
+    strip = build_gutter_strip_np(img, wrap, dtype="float32")
+    packed = np.concatenate(
+        [strip[:-1, :-1], strip[:-1, 1:], strip[1:, :-1], strip[1:, 1:]],
+        axis=-1)                                   # (HS-1, S, 4C)
+    return packed.astype(dtype)
+
+
+def _gutter_level_coords(S: int, u, v, level, wrap: int):
+    """Start texel + bilinear fracs for one level of a gutter strip."""
+    L = num_mip_levels(S, S)
+    level = jnp.clip(level, 0, L - 1)
+    ls = jnp.maximum(S >> level, 1)
+    row0 = gutter_row_offset(S, level)
+    x = u * ls - 0.5
+    y = v * ls - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    if wrap == WRAP_REPEAT:
+        x0 = jnp.mod(x0f.astype(jnp.int32), ls)
+        y0 = jnp.mod(y0f.astype(jnp.int32), ls)
+        fx = x - x0f
+        fy = y - y0f
+    else:
+        x0 = jnp.clip(x0f.astype(jnp.int32), 0, jnp.maximum(ls - 2, 0))
+        y0 = jnp.clip(y0f.astype(jnp.int32), 0, jnp.maximum(ls - 2, 0))
+        fx = jnp.clip(x - x0.astype(x.dtype), 0.0, 1.0)
+        fy = jnp.clip(y - y0.astype(y.dtype), 0.0, 1.0)
+    return row0 + y0, x0, fx, fy
+
+
+def sample_packed_level(packed: jax.Array, tex_id, u, v, level,
+                        channels: int, wrap: int = WRAP_REPEAT):
+    """Bilinear from a (N, HS-1, S, 4C) quad-packed strip — ONE gather.
+
+    Returns (..., C) float32.
+    """
+    S = packed.shape[2]
+    yy, xx, fx, fy = _gutter_level_coords(S, u, v, level, wrap)
+    quad = packed[tex_id, yy, xx].astype(jnp.float32)      # (..., 4C)
+    quad = quad.reshape(quad.shape[:-1] + (4, channels))
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = quad[..., 0, :] * (1 - fx) + quad[..., 1, :] * fx
+    bot = quad[..., 2, :] * (1 - fx) + quad[..., 3, :] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_packed_trilinear(packed: jax.Array, tex_id, u, v, lod,
+                            channels: int, wrap: int = WRAP_REPEAT):
+    """Trilinear from a quad-packed strip array — TWO gathers total."""
+    S = packed.shape[2]
+    L = num_mip_levels(S, S)
+    lod = jnp.clip(lod, 0.0, L - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - l0.astype(lod.dtype))[..., None]
+    a = sample_packed_level(packed, tex_id, u, v, l0, channels, wrap)
+    b = sample_packed_level(packed, tex_id, u, v,
+                            jnp.minimum(l0 + 1, L - 1), channels, wrap)
     return a * (1 - frac) + b * frac
 
 

@@ -99,12 +99,11 @@ class Environment:
     """Sky + IBL bundle handed to the shading kernels."""
 
     def __init__(self, equirect: np.ndarray, intensity: float = 1.0):
-        from ..ops.texture import build_mip_strip
+        from ..ops.texture import build_packed_strip_np
         h, w = equirect.shape[:2]
-        # Mip strips need square pow2; resample equirect (H, 2H) -> (S, S)
-        # in direction space would distort; instead store (H, 2H) padded
-        # to square by stacking: sample via direct bilinear on mips built
-        # per level with the generic build_mips on the padded square.
+        # Resample equirect (H, 2H) -> square pow2 (S, S); stored as a
+        # quad-packed gutter strip (ops/texture.py) so every bilinear env
+        # fetch is ONE single-index gather (f32: HDR radiance, small).
         s = 1
         while s < max(h, w):
             s *= 2
@@ -113,8 +112,9 @@ class Environment:
             np.concatenate([equirect,
                             np.ones_like(equirect[..., :1])], axis=-1),
             s, s)
-        strip = build_mip_strip(jnp.asarray(sq.astype(np.float32)))
-        self.strips = strip[None]             # (1, 2S, S, 4)
+        strip = build_packed_strip_np(sq.astype(np.float32),
+                                      dtype="float32")
+        self.strips = jnp.asarray(strip[None])   # (1, HS-1, S, 16)
         self.sh = jnp.asarray(project_sh9(equirect) * intensity)
         self.intensity = intensity
         self.num_levels = int(np.log2(s)) + 1
@@ -126,9 +126,9 @@ class Environment:
 def sample_environment(strips, dirs, lod):
     """Sample the equirect env by direction (..., 3) at a given lod.
 
-    An integer (Python) lod takes the single-level bilinear path — half
-    the gathers; used for the sky background (always level 0)."""
-    from ..ops.texture import sample_array_level, sample_array_trilinear
+    An integer (Python) lod takes the single-level bilinear path — one
+    single-index gather; used for the sky background (always level 0)."""
+    from ..ops.texture import sample_packed_level, sample_packed_trilinear
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     n = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
     theta = jnp.arccos(jnp.clip(y / n, -1.0, 1.0))
@@ -139,7 +139,7 @@ def sample_environment(strips, dirs, lod):
     s = strips.shape[2]
     v = jnp.clip(theta / jnp.pi, 0.5 / s, 1.0 - 0.5 / s)
     if isinstance(lod, int):
-        return sample_array_level(strips, jnp.int32(0), u, v,
-                                  jnp.int32(lod), wrap=0)[..., :3]
-    return sample_array_trilinear(strips, jnp.int32(0), u, v, lod,
-                                  wrap=0)[..., :3]
+        return sample_packed_level(strips, jnp.int32(0), u, v,
+                                   jnp.int32(lod), 4, wrap=0)[..., :3]
+    return sample_packed_trilinear(strips, jnp.int32(0), u, v, lod,
+                                   4, wrap=0)[..., :3]

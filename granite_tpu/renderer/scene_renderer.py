@@ -50,10 +50,14 @@ class PackedScene:
     mat_base_color: jax.Array   # (M, 4)
     mat_mr: jax.Array           # (M, 2) metallic, roughness
     mat_emissive: jax.Array     # (M, 3)
-    mat_tex: jax.Array          # (M, 4) i32: base, mr, normal, emissive
+    mat_bundle: jax.Array       # (M,) i32 material texture-bundle index
     mat_alpha: jax.Array        # (M, 2) f32: mode, cutoff
     mat_two_sided: jax.Array    # (M,) i32
-    textures: jax.Array         # (N, 2S, S, 4) f16 mip strips
+    # Material texture bundles: (B, HS-1, S, 64) f16 quad-packed gutter
+    # strips with base/mr/normal/emissive interleaved channel-wise and the
+    # 2x2 bilinear footprint pre-packed — full trilinear material sampling
+    # costs 2 single-index gathers (ops/texture.build_packed_strip_np).
+    bundles: jax.Array
     # host-side object table (for culling)
     obj_node: np.ndarray        # (O,) node per object
     obj_aabb_min: np.ndarray    # (O, 3) object-space AABB
@@ -116,6 +120,24 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
                       tex_of(m.emissive_image, WHITE_TEXTURE)]
         mat_alpha[i] = [float(m.alpha_mode), m.alpha_cutoff]
         mat_two_sided[i] = int(m.two_sided)
+
+    # Material texture bundles: dedupe by (base, mr, normal, emissive)
+    # texture tuple; interleave the four RGBA images channel-wise into one
+    # 16-channel quad-packed gutter strip per bundle — full trilinear
+    # sampling of all four material textures is then TWO single-index
+    # gathers per pixel instead of 32 (ops/texture.py gather economics).
+    from ..ops.texture import build_packed_strip_np
+    bundle_of: dict = {}
+    bundle_strips = []
+    mat_bundle = np.zeros(M, np.int32)
+    for i in range(M):
+        key = tuple(mat_tex[i])
+        if key not in bundle_of:
+            stacked = np.concatenate([tb._images[t] for t in key], axis=-1)
+            bundle_of[key] = len(bundle_strips)
+            bundle_strips.append(build_packed_strip_np(stacked))
+        mat_bundle[i] = bundle_of[key]
+    bundles = np.stack(bundle_strips)
 
     pos_l, nrm_l, uv_l, tan_l, vnode_l = [], [], [], [], []
     idx_l, trimat_l, triobj_l = [], [], []
@@ -184,7 +206,6 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
         raise ValueError("scene has no mesh instances")
 
     positions = np.concatenate(pos_l)
-    textures = tb.build()
 
     ps = PackedScene(
         positions=jnp.asarray(positions),
@@ -198,10 +219,10 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
         mat_base_color=jnp.asarray(mat_base),
         mat_mr=jnp.asarray(mat_mr),
         mat_emissive=jnp.asarray(mat_emissive),
-        mat_tex=jnp.asarray(mat_tex),
+        mat_bundle=jnp.asarray(mat_bundle),
         mat_alpha=jnp.asarray(mat_alpha),
         mat_two_sided=jnp.asarray(mat_two_sided),
-        textures=textures.data,
+        bundles=jnp.asarray(bundles),
         obj_node=np.asarray(obj_node, np.int32),
         obj_aabb_min=np.asarray(obj_min, np.float32),
         obj_aabb_max=np.asarray(obj_max, np.float32),
@@ -222,8 +243,9 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
                          for m in info.materials),
     )
     LOGI("PackedScene: %d verts, %d tris, %d objects, %d materials, "
-         "%d textures", len(positions), len(ps.indices), ps.num_objects,
-         M, len(tb._images))
+         "%d textures, %d bundles (%.1f MB f16)", len(positions),
+         len(ps.indices), ps.num_objects, M, len(tb._images),
+         len(bundle_strips), bundles.nbytes / 2**20)
     return ps
 
 
@@ -314,7 +336,7 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
     # the resolve packs EVERYTHING a pixel needs from its triangle into
     # one wide per-triangle row, built with triangle-count gathers
     # (T*3 corner rows), then fetched with a single pixel-count gather:
-    #   [adj 9 | offset 2 | corner attrs 3x12 | material 4 factors...]
+    #   [adj 9 | offset 2 | corner attrs 3x12 | material factors...]
     # This replaces 5+ separate pixel-count gather passes.
     T_ = scene.indices.shape[0]
     vattrs = jnp.concatenate(
@@ -327,12 +349,12 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
         corner,                                           # 36
         scene.mat_base_color[mat_of_tri],                 # 4
         scene.mat_mr[mat_of_tri],                         # 2
-        scene.mat_tex[mat_of_tri].astype(jnp.float32),    # 4 (ids as f32)
+        scene.mat_bundle[mat_of_tri].astype(jnp.float32)[:, None],  # 1
         scene.mat_emissive[mat_of_tri],                   # 3
-    ], axis=1)                                            # (T, 60)
+    ], axis=1)                                            # (T, 57)
 
     t = jnp.maximum(tri, 0)
-    row = tri_pack[t]                                     # (H, W, 60)
+    row = tri_pack[t]                                     # (H, W, 57)
     adj = row[..., 0:9].reshape(row.shape[:-1] + (3, 3))
     off = row[..., 9:11]
     av = row[..., 11:47].reshape(row.shape[:-1] + (3, 12))
@@ -362,46 +384,43 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
 
     base_factor = row[..., 47:51]
     mr_factor = row[..., 51:53]
-    tex_ids = row[..., 53:57].astype(jnp.int32)
-    emissive_factor = row[..., 57:60]
+    bundle_id = row[..., 53].astype(jnp.int32)
+    emissive_factor = row[..., 54:57]
 
-    S = scene.textures.shape[2]
+    S = scene.bundles.shape[2]
     lod = T.lod_from_derivs(duvdx[..., 0], duvdx[..., 1],
                             duvdy[..., 0], duvdy[..., 1], S, S,
                             bias=lod_bias)
     u, v = uv[..., 0], uv[..., 1]
-    base_tex = T.sample_array_trilinear(scene.textures, tex_ids[..., 0],
-                                        u, v, lod)
+    # ONE bundle fetch (2 single-index gathers) gives all four material
+    # textures at the shared (uv, lod): [base | mr | normal | emissive].
+    tex = T.sample_packed_trilinear(scene.bundles, bundle_id, u, v, lod, 16)
+    base_tex = tex[..., 0:4]
     base_color = base_factor[..., :3] * base_tex[..., :3]
 
-    # Shader-variant specialization (ShaderSuite material flags): skip
-    # texture fetches no material in the scene uses.
+    # Shader-variant specialization (ShaderSuite material flags): unpack
+    # only the channels some material in the scene uses (the fetch cost
+    # is already shared; these gates keep the ALU lean).
     if scene.has_mr_textures:
-        mr_tex = T.sample_array_trilinear(scene.textures,
-                                          tex_ids[..., 1], u, v, lod)
-        metallic = mr_factor[..., 0] * mr_tex[..., 2]   # glTF: B=metal
-        roughness = mr_factor[..., 1] * mr_tex[..., 1]  # G=rough
+        metallic = mr_factor[..., 0] * tex[..., 6]      # glTF: B=metal
+        roughness = mr_factor[..., 1] * tex[..., 5]     # G=rough
     else:
         metallic = mr_factor[..., 0]
         roughness = mr_factor[..., 1]
 
     n = _normalize(nrm)
     if scene.has_normal_maps:
-        nrm_tex = T.sample_array_trilinear(scene.textures,
-                                           tex_ids[..., 2], u, v, lod)
         # Normal mapping (static_mesh.frag tangent-frame path).
         t3 = _normalize(tan[..., :3])
         b = jnp.cross(n, t3) * tan[..., 3:4]
-        tn = nrm_tex[..., :3] * 2.0 - 1.0
+        tn = tex[..., 8:11] * 2.0 - 1.0
         n_mapped = _normalize(tn[..., 0:1] * t3 + tn[..., 1:2] * b
                               + tn[..., 2:3] * n)
     else:
         n_mapped = n
 
     if scene.has_emissive:
-        emis_tex = T.sample_array_trilinear(scene.textures,
-                                            tex_ids[..., 3], u, v, lod)
-        emissive = emissive_factor * emis_tex[..., :3]
+        emissive = emissive_factor * tex[..., 12:15]
     else:
         emissive = jnp.zeros_like(base_color)
 
@@ -466,7 +485,30 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
         nov = jnp.clip((n * v).sum(-1), 0.0, 1.0)
         refl = 2.0 * nov[..., None] * n - v
         lod = rough * (env["levels"] - 1.0)
-        spec_env = sample_environment(env["strips"], refl, lod)
+        if background is None and width and height:
+            # Merge the IBL-specular and skybox fetches into ONE env
+            # sample stream: covered pixels use (refl, rough-lod),
+            # background pixels the view ray at lod 0 — saving a full
+            # per-pixel gather pass (gathers cost ~11ns/index on TPU
+            # regardless of locality; op count is the lever).
+            px, py = R.pixel_centers(width, height)
+            ivp = params["inv_view_proj"]
+            ndc = jnp.stack([2 * (px + 0.0) / width - 1,
+                             2 * (py + 0.0) / height - 1,
+                             jnp.full_like(px, 0.5),
+                             jnp.ones_like(px)], axis=-1)
+            wp = ndc @ ivp.T
+            view_dirs = wp[..., :3] / jnp.where(
+                jnp.abs(wp[..., 3:4]) < 1e-20, 1e-20, wp[..., 3:4]) \
+                - params["camera_pos"]
+            cov = surf["covered"]
+            dirs = jnp.where(cov[..., None], refl, view_dirs)
+            lod = jnp.where(cov, lod, 0.0)
+            env_sample = sample_environment(env["strips"], dirs, lod)
+            spec_env = env_sample
+            background = env_sample
+        else:
+            spec_env = sample_environment(env["strips"], refl, lod)
         f0 = compute_f0(base, metal)
         color = color + spec_env * fresnel_ibl(f0, nov, rough)
 
@@ -481,23 +523,9 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
 
     color = color + surf["emissive"]
     if background is None:
-        if env is not None:
-            from .environment import sample_environment as _se
-            # Skybox: background pixels sample the sky along the view ray
-            # (mesh_util SkyboxMesh without the mesh).
-            px, py = R.pixel_centers(width, height)
-            ivp = params["inv_view_proj"]
-            ndc = jnp.stack([2 * (px + 0.0) / width - 1,
-                             2 * (py + 0.0) / height - 1,
-                             jnp.full_like(px, 0.5),
-                             jnp.ones_like(px)], axis=-1)
-            wp = ndc @ ivp.T
-            dirs = wp[..., :3] / jnp.where(
-                jnp.abs(wp[..., 3:4]) < 1e-20, 1e-20, wp[..., 3:4]) \
-                - params["camera_pos"]
-            background = _se(env["strips"], dirs, 0)   # level-0 bilinear
-        else:
-            background = jnp.zeros(3, jnp.float32)
+        # env skybox pixels were produced by the merged IBL+sky stream
+        # above; without an env (or pixel grid) the clear color is black.
+        background = jnp.zeros(3, jnp.float32)
     return jnp.where(surf["covered"][..., None], color, background)
 
 

@@ -169,3 +169,113 @@ def test_vsm_chebyshev():
     # Outside the map -> lit.
     out = jnp.array([[[1.5, 0.5, 0.3]]])
     assert float(np.asarray(sample_vsm_shadow(moments, uv_mat, out))) == 1.0
+
+
+def test_packed_strip_matches_mip_strip():
+    """Patch-gather gutter sampling == classic strip sampling (REPEAT
+    exact everywhere incl. borders; CLAMP exact too via start-clamp +
+    frac-adjust)."""
+    from granite_tpu.ops.texture import (
+        build_packed_strip_np, sample_packed_level,
+        sample_packed_trilinear,
+    )
+    rng = np.random.RandomState(3)
+    img = rng.rand(16, 16, 4).astype(np.float32)
+    strips_old = build_mip_strip(jnp.asarray(img))[None]
+    g = jnp.asarray(build_packed_strip_np(img, dtype="float32"))[None]
+    u = jnp.asarray(rng.rand(64).astype(np.float32) * 1.4 - 0.2)
+    v = jnp.asarray(rng.rand(64).astype(np.float32) * 1.4 - 0.2)
+    tid = jnp.zeros(64, jnp.int32)
+    for wrap in (WRAP_REPEAT,):
+        for lvl in (0, 1, 3):
+            a = sample_array_level(strips_old, tid, u, v, jnp.int32(lvl),
+                                   wrap=wrap)
+            b = sample_packed_level(g, tid, u, v, jnp.int32(lvl), 4,
+                                    wrap=wrap)
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6), \
+                f"wrap={wrap} lvl={lvl}"
+    lod = jnp.asarray(rng.rand(64).astype(np.float32) * 4.0)
+    a = sample_array_trilinear(strips_old, tid, u, v, lod)
+    b = sample_packed_trilinear(g, tid, u, v, lod, 4)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_packed_clamp_mode():
+    from granite_tpu.ops.texture import (
+        build_packed_strip_np, sample_packed_level,
+    )
+    rng = np.random.RandomState(4)
+    img = rng.rand(8, 8, 4).astype(np.float32)
+    strips_old = build_mip_strip(jnp.asarray(img))[None]
+    g = jnp.asarray(build_packed_strip_np(img, wrap=WRAP_CLAMP,
+                                          dtype="float32"))[None]
+    u = jnp.asarray(np.linspace(-0.3, 1.3, 33).astype(np.float32))
+    v = jnp.asarray(np.linspace(1.3, -0.3, 33).astype(np.float32))
+    tid = jnp.zeros(33, jnp.int32)
+    a = sample_array_level(strips_old, tid, u, v, jnp.int32(0),
+                           wrap=WRAP_CLAMP)
+    b = sample_packed_level(g, tid, u, v, jnp.int32(0), 4,
+                            wrap=WRAP_CLAMP)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pcf_patch_matches_per_tap():
+    """Patch-gather PCF == per-tap gather PCF away from map borders."""
+    rng = np.random.RandomState(5)
+    sm = jnp.asarray(rng.rand(64, 64).astype(np.float32))
+    u = jnp.asarray(0.1 + 0.8 * rng.rand(128).astype(np.float32))
+    v = jnp.asarray(0.1 + 0.8 * rng.rand(128).astype(np.float32))
+    ref = jnp.asarray(rng.rand(128).astype(np.float32))
+
+    def pcf_2x2_ref(shadow_map, u, v, ref_z, bias=1e-3):
+        h, w = shadow_map.shape[:2]
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+        x1i = jnp.clip(x0i + 1, 0, w - 1)
+        y1i = jnp.clip(y0i + 1, 0, h - 1)
+        cmp_ = lambda s: (ref_z >= s - bias).astype(jnp.float32)
+        c00 = cmp_(shadow_map[y0i, x0i])
+        c10 = cmp_(shadow_map[y0i, x1i])
+        c01 = cmp_(shadow_map[y1i, x0i])
+        c11 = cmp_(shadow_map[y1i, x1i])
+        top = c00 * (1 - fx) + c10 * fx
+        bot = c01 * (1 - fx) + c11 * fx
+        return top * (1 - fy) + bot * fy
+
+    a = pcf_2x2(sm, u, v, ref)
+    b = pcf_2x2_ref(sm, u, v, ref)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def pcf_wide_ref(shadow_map, u, v, ref_z, bias=1e-3):
+        h, w = shadow_map.shape[:2]
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        wfn = lambda t: jnp.exp2(-0.375 * t * t) * (1.0 - t * t / 9.0)
+        acc = 0.0
+        tw = 0.0
+        for dy in range(-2, 4):
+            wy = wfn(dy - fy)
+            yi = jnp.clip(y0i + dy, 0, h - 1)
+            for dx in range(-2, 4):
+                wx = wfn(dx - fx)
+                xi = jnp.clip(x0i + dx, 0, w - 1)
+                acc = acc + wx * wy * (ref_z >= shadow_map[yi, xi]
+                                       - bias).astype(jnp.float32)
+                tw = tw + wx * wy
+        return acc / tw
+
+    a = pcf_wide(sm, u, v, ref)
+    b = pcf_wide_ref(sm, u, v, ref)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
