@@ -4,23 +4,29 @@ Replaces the O(T x P) chunked-scan rasterizer (ops/raster.py) with the
 classic GPU software-raster structure (binning -> per-tile raster), built
 the TPU way:
 
-  1. **Emit**: every valid triangle emits up to K=8 (tile, entry) keys
-     covering a 2-wide x 4-tall tile window of its pixel bbox (tiles are
-     TILE_H x TILE_W = 32 x 128 pixels — the (8,128) VPU shape times 4).
-     Triangles spanning more tiles (or crossing the near plane) go to a
+  1. **Emit**: every valid triangle whose bbox fits a SPAN_W x SPAN_H
+     tile window emits ONE key — its top-left covered tile.  (Round-1
+     emitted 8 duplicated keys per triangle; binning by origin cuts the
+     sort and packet-gather volume 8x.  The raster kernel compensates by
+     scanning the bins of the window up-left of its tile, which is where
+     any triangle overlapping it must have been binned.)  Triangles
+     spanning more tiles (or crossing the near plane) go to a
      fixed-capacity "huge" list that every tile processes (Sponza-class
-     scenes have only a handful after culling).
-  2. **Sort**: one XLA sort of the T*K keys groups entries by tile;
-     per-tile [start, end) ranges come from a vectorized searchsorted.
+     scenes have only a handful after culling); overflow is COUNTED and
+     surfaced via stats — never silently grown.
+  2. **Sort**: one XLA sort of the T keys groups entries by bin;
+     per-bin [start, end) ranges come from a vectorized searchsorted.
      This replaces atomics/append-buffers of GPU binning — sorting is
      the TPU-native idiom for irregular scatter.
   3. **Gather**: triangle setup packets (edge rows, z-plane, offset,
      tri id) are re-ordered into sorted order with one big take, so the
      per-tile kernel reads *contiguous* packet ranges.
-  4. **Raster kernel (Pallas)**: grid over tiles; each instance walks its
-     packet range in chunks of 8 with double-buffered HBM->VMEM DMA,
-     evaluates 8 triangles against its 32x128 pixels on the VPU, and
-     keeps a (depth, tri) visibility buffer in VMEM scratch.
+  4. **Raster kernel (Pallas)**: grid over tiles; each instance walks the
+     packet ranges of its SPAN_H bin rows (each row's SPAN_W bins are
+     adjacent in key space -> one contiguous range per row) in chunks of
+     16 with double-buffered HBM->VMEM DMA, evaluates the triangles
+     against its 32x128 pixels on the VPU, and keeps a (depth, tri)
+     visibility buffer in VMEM scratch.
 
 Outputs match ops/raster.rasterize exactly (same edge functions, same
 top-left rule, same reverse-Z GREATER test) — tested against it.
@@ -40,7 +46,6 @@ from .raster import TriangleSetup
 
 TILE_H = 32
 TILE_W = 128
-K_SLOTS = 8              # 2 tiles wide x 4 tiles tall window
 SPAN_W = 2
 SPAN_H = 4
 # Packet row = 128 f32: edge 15 + zplane 3 + offset 2 + triid 1 + padding.
@@ -68,15 +73,20 @@ def _build_packets(setup: TriangleSetup) -> jax.Array:
 def bin_triangles(setup: TriangleSetup, width: int, height: int,
                   huge_cap: int = 1024, max_visible: int | None = None,
                   span_w: int = SPAN_W, span_h: int = SPAN_H):
-    """Sort-based binning.  Returns (packets_sorted (E,128), starts
-    (ntiles+1,), huge_packets (huge_cap, 128), huge_count ()).
+    """Sort-based binning (one key per small triangle — see module doc).
+
+    Returns (packets_sorted (T+CHUNK, 128), starts (ntiles+1,),
+    huge_packets (huge_cap, 128), huge_count (), stats dict).
+
+    stats: {"huge_overflow": dropped huge triangles,
+            "visible_overflow": dropped by max_visible compaction} —
+    the reference never drops geometry (render_queue.cpp:41-58); these
+    counters make any capacity overflow observable (graph/debug.py).
 
     max_visible: optional static capacity for a visibility-compaction
     stage.  Culled scenes often keep <25% of triangles; compacting the
-    survivors first shrinks the sort and the packet gather (whose cost is
-    ~3ns/row on TPU regardless of width) by the same factor.  Triangles
-    beyond the capacity are DROPPED (set it with headroom; the scene
-    renderer exposes it as a config knob).
+    survivors first shrinks the sort and the packet gather by the same
+    factor.  Triangles beyond the capacity are DROPPED and counted.
     """
     tx = -(-width // TILE_W)
     ty = -(-height // TILE_H)
@@ -85,10 +95,13 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     bbox = setup.bbox
     valid = setup.valid
     packets_full = _build_packets(setup)
+    stats = {}
     if max_visible is not None and max_visible < setup.adj.shape[0]:
         C = max_visible
         vpos = jnp.cumsum(valid.astype(jnp.int32)) - 1
         sel = valid & (vpos < C)
+        stats["visible_overflow"] = (valid.sum() - sel.sum()) \
+            .astype(jnp.int32)
         dst = jnp.where(sel, vpos, C)
         packets = jnp.zeros((C, PACKET_F32), jnp.float32) \
             .at[dst].set(packets_full, mode="drop")
@@ -97,8 +110,8 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
         valid = jnp.zeros((C,), bool).at[dst].set(sel, mode="drop")
     else:
         packets = packets_full
+        stats["visible_overflow"] = jnp.int32(0)
 
-    T = packets.shape[0]
     x0, y0, x1, y1 = (bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3])
     tx0 = x0 // TILE_W
     ty0 = y0 // TILE_H
@@ -109,24 +122,14 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     small = valid & (tri_span_w <= span_w) & (tri_span_h <= span_h)
     huge = valid & ~small
 
-    # --- small: emit span_w*span_h keys per triangle ------------------------
-    k_slots = span_w * span_h
-    slot = jnp.arange(k_slots, dtype=jnp.int32)
-    dx = slot % span_w                                  # (K,)
-    dy = slot // span_w
-    etx = tx0[:, None] + dx[None, :]
-    ety = ty0[:, None] + dy[None, :]
-    in_span = (etx <= tx1[:, None]) & (ety <= ty1[:, None]) & small[:, None]
-    keys = jnp.where(in_span, ety * tx + etx, ntiles).astype(jnp.int32)
-    keys = keys.reshape(-1)                             # (T*K,)
-
+    # --- small: ONE key per triangle = its top-left covered bin ------------
+    keys = jnp.where(small, ty0 * tx + tx0, ntiles).astype(jnp.int32)
     order = jnp.argsort(keys)                           # stable
     sorted_keys = keys[order]
-    entry_tri = (order // k_slots).astype(jnp.int32)
 
-    packets_sorted = packets[entry_tri]
+    packets_sorted = packets[order]
     # Pad one DMA chunk: the kernel reads chunk-aligned ranges and may
-    # touch up to CHUNK-1 rows past a tile's range end.
+    # touch up to CHUNK-1 rows past a range end.
     packets_sorted = jnp.concatenate(
         [packets_sorted, jnp.zeros((CHUNK, PACKET_F32), jnp.float32)])
     starts = jnp.searchsorted(sorted_keys,
@@ -134,13 +137,19 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
                               side="left").astype(jnp.int32)
 
     # --- huge: fixed-capacity compaction ------------------------------------
+    # Allocation rounds up to the DMA chunk so the kernel's chunk-aligned
+    # reads stay in bounds for any huge_cap.
     hidx = jnp.cumsum(huge.astype(jnp.int32)) - 1
     hsel = huge & (hidx < huge_cap)
-    huge_packets = jnp.zeros((huge_cap, PACKET_F32), jnp.float32)
+    alloc = -(-max(huge_cap, 1) // CHUNK) * CHUNK
+    huge_packets = jnp.zeros((alloc, PACKET_F32), jnp.float32)
     huge_packets = huge_packets.at[
-        jnp.where(hsel, hidx, huge_cap)].set(packets, mode="drop")
-    huge_count = jnp.minimum(huge.sum(), huge_cap).astype(jnp.int32)
-    return packets_sorted, starts, huge_packets, huge_count
+        jnp.where(hsel, hidx, alloc)].set(packets, mode="drop")
+    n_huge = huge.sum()
+    huge_count = jnp.minimum(n_huge, huge_cap).astype(jnp.int32)
+    stats["huge_overflow"] = jnp.maximum(
+        n_huge - huge_cap, 0).astype(jnp.int32)
+    return packets_sorted, starts, huge_packets, huge_count, stats
 
 
 CHUNK = 16               # packets per DMA (16 x 512B = 8KB transfers)
@@ -152,7 +161,8 @@ def _raster_tile_kernel(starts_ref, huge_count_ref,      # scalar prefetch
                         depth_out, tri_out,              # VMEM outputs
                         pkt_scratch, dma_sems,           # scratch
                         depth_s, tri_s,
-                        *, tiles_x: int):
+                        *, tiles_x: int, tiles_y: int,
+                        span_w: int, span_h: int):
     tile = pl.program_id(0)
     ty = tile // tiles_x
     tx = tile % tiles_x
@@ -203,7 +213,8 @@ def _raster_tile_kernel(starts_ref, huge_count_ref,      # scalar prefetch
         # Safety cap: a pathological tile (everything projected onto one
         # spot) must not run for minutes and trip the TPU watchdog; the
         # reference's fixed-capacity per-tile bins drop excess the same
-        # way under overload.
+        # way under overload.  Overflow is observable host-side via the
+        # per-bin range sizes (rasterize_binned stats).
         count = jnp.minimum(count, MAX_ENTRIES_PER_TILE)
         n_chunks = pl.cdiv(count, CHUNK)
 
@@ -234,9 +245,22 @@ def _raster_tile_kernel(starts_ref, huge_count_ref,      # scalar prefetch
                 return 0
             jax.lax.fori_loop(0, n_chunks, body, 0)
 
-    start = starts_ref[tile]
-    end = starts_ref[tile + 1]
-    run_range(packets_hbm, start, end - start)
+    # A triangle overlapping this tile was binned at its top-left covered
+    # tile, which lies within the (span_w, span_h) window up-left of us.
+    # Bins of one row are adjacent in key space, so each window row is
+    # ONE contiguous packet range.
+    for wy in range(span_h):
+        by = ty - wy
+        bx0 = jnp.maximum(tx - (span_w - 1), 0)
+        row_ok = by >= 0
+
+        @pl.when(row_ok)
+        def _():
+            base = by * tiles_x
+            start = starts_ref[base + bx0]
+            end = starts_ref[base + tx + 1]
+            run_range(packets_hbm, start, end - start)
+
     run_range(huge_hbm, 0, huge_count_ref[0])
 
     depth_out[:] = depth_s[:]
@@ -246,14 +270,20 @@ def _raster_tile_kernel(starts_ref, huge_count_ref,      # scalar prefetch
 def rasterize_binned(setup: TriangleSetup, width: int, height: int,
                      huge_cap: int = 1024, interpret: bool | None = None,
                      max_visible: int | None = None,
-                     span_w: int = SPAN_W, span_h: int = SPAN_H):
-    """Full binned rasterization.  Returns (depth (H, W), tri (H, W)).
+                     span_w: int = SPAN_W, span_h: int = SPAN_H,
+                     with_stats: bool = False):
+    """Full binned rasterization.  Returns (depth (H, W), tri (H, W))
+    [, stats dict if with_stats].
 
-    span_w/span_h size the per-triangle emit window in tiles; triangles
+    span_w/span_h size the per-triangle bin window in tiles; triangles
     exceeding it go to the all-tiles huge list.  Views with many large
     triangles (ortho shadow maps of tall geometry) need a bigger window —
     an overloaded huge list makes every tile scan it and can run long
     enough to trip the TPU watchdog.
+
+    stats: {"huge_overflow", "visible_overflow", "max_bin_entries"} —
+    non-zero overflow means geometry was dropped (surface it; the
+    reference never drops draws, render_queue.cpp:41-58).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -263,11 +293,14 @@ def rasterize_binned(setup: TriangleSetup, width: int, height: int,
     pw = tx * TILE_W
     ph = ty * TILE_H
 
-    packets, starts, huge_packets, huge_count = bin_triangles(
+    packets, starts, huge_packets, huge_count, stats = bin_triangles(
         setup, width, height, huge_cap, max_visible=max_visible,
         span_w=span_w, span_h=span_h)
+    stats["max_bin_entries"] = jnp.max(starts[1:] - starts[:-1]) \
+        .astype(jnp.int32)
 
-    kernel = functools.partial(_raster_tile_kernel, tiles_x=tx)
+    kernel = functools.partial(_raster_tile_kernel, tiles_x=tx,
+                               tiles_y=ty, span_w=span_w, span_h=span_h)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ntiles,),
@@ -301,4 +334,6 @@ def rasterize_binned(setup: TriangleSetup, width: int, height: int,
         ],
         interpret=interpret,
     )(starts, jnp.full((1,), huge_count, jnp.int32), packets, huge_packets)
+    if with_stats:
+        return depth[:height, :width], tri[:height, :width], stats
     return depth[:height, :width], tri[:height, :width]

@@ -58,7 +58,8 @@ def test_huge_triangle_path():
         [-4, -4, 0.5, 1], [4, -4, 0.5, 1], [0, 4, 0.5, 1]], np.float32))
     idx = jnp.asarray(np.array([[0, 1, 2]], np.int32))
     setup = setup_triangles(clip, idx, bw, bh, cull_mode=CULL_NONE)
-    packets, starts, huge_packets, huge_count = bin_triangles(setup, bw, bh)
+    packets, starts, huge_packets, huge_count, _stats = \
+        bin_triangles(setup, bw, bh)
     assert int(huge_count) == 1
     assert int(np.asarray(starts)[-1]) == 0      # no small entries
     d_ref, t_ref = rasterize(setup, bw, bh)
@@ -74,7 +75,7 @@ def test_binning_ranges():
     ], np.float32))
     idx = jnp.asarray(np.array([[0, 1, 2]], np.int32))
     setup = setup_triangles(clip, idx, W, H, cull_mode=CULL_NONE)
-    packets, starts, _, huge_count = bin_triangles(setup, W, H)
+    packets, starts, _, huge_count, _stats = bin_triangles(setup, W, H)
     s = np.asarray(starts)
     counts = np.diff(s)
     tiles_x = W // 128
@@ -107,3 +108,21 @@ def test_empty_scene():
     setup = setup_triangles(clip, idx, W, H, cull_mode=CULL_NONE)
     d, t = rasterize_binned(setup, W, H, interpret=True)
     assert not (np.asarray(t) >= 0).any()
+
+
+def test_overflow_stats():
+    clip, idx = random_scene(60, seed=3)
+    setup = setup_triangles(clip, idx, W, H, cull_mode=CULL_NONE)
+    # Tiny huge_cap: every near-crossing/huge triangle beyond 0 capacity
+    # must be counted, not silently dropped.
+    d, t, stats = rasterize_binned(setup, W, H, interpret=True,
+                                   huge_cap=1, with_stats=True)
+    nvis = int(np.asarray(setup.valid).sum())
+    assert int(stats["visible_overflow"]) == 0
+    assert int(stats["huge_overflow"]) >= 0
+    assert int(stats["max_bin_entries"]) <= nvis
+    # max_visible below the visible count must count the dropped rest.
+    cap = max(nvis - 5, 1)
+    d2, t2, stats2 = rasterize_binned(setup, W, H, interpret=True,
+                                      max_visible=cap, with_stats=True)
+    assert int(stats2["visible_overflow"]) == max(nvis - cap, 0)
