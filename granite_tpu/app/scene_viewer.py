@@ -487,6 +487,10 @@ class SceneViewerApplication(Application):
                 .add_color_output("g-pos", rel(1, 3)) \
                 .add_depth_stencil_output("depth-main", rel(1, 1)) \
                 .add_color_output("g-covered", rel(1, 1, jnp.bool_))
+            if self._use_taa:
+                # MV G-buffer target (RendererSuite Type MotionVector).
+                gb.add_external_input("prev_world")
+                gb.add_color_output("mv", rel(1, 2))
             if self.ocean is not None:
                 gb.add_texture_input("ocean-maps")
             if self.config.occlusion_culling:
@@ -514,6 +518,9 @@ class SceneViewerApplication(Application):
                 .add_external_input("normal_mats") \
                 .add_color_output("hdr", rel(1, 3)) \
                 .add_depth_stencil_output("depth-main", rel(1, 1))
+            if self._use_taa:
+                forward.add_external_input("prev_world")
+                forward.add_color_output("mv", rel(1, 2))
             if use_shadow:
                 forward.add_texture_input("shadow-depth")
             if self.ocean is not None:
@@ -529,6 +536,7 @@ class SceneViewerApplication(Application):
             g.add_pass("taa-resolve", Queue.GRAPHICS) \
                 .add_texture_input("hdr") \
                 .add_texture_input("depth-main") \
+                .add_texture_input("mv") \
                 .add_history_input("taa-history") \
                 .add_color_output("hdr-resolved", rel(1, 3)) \
                 .add_color_output("taa-history", rel(1, 3)) \
@@ -684,9 +692,17 @@ class SceneViewerApplication(Application):
             object_mask = object_mask & occ
         setup, depth, tri = rasterize_scene(
             self.packed, clip, object_mask, self._rw, self._rh)
+        prev_wpos = None
+        if self._use_taa:
+            # Last-frame vertex positions for per-object motion vectors
+            # (reconstruct_mv.frag); rides the packed-row resolve gather.
+            from ..renderer.scene_renderer import world_positions
+            prev_wpos = world_positions(
+                self.packed, ctx.input("prev_world"),
+                p.get("prev_skin_palette"))
         surf = surface_attributes(
             self.packed, setup, tri, wpos, wnrm, wtan, self._rw, self._rh,
-            lod_bias=self.config.lod_bias)
+            lod_bias=self.config.lod_bias, prev_world_pos=prev_wpos)
         return surf, depth
 
     def _light_kwargs(self, ctx):
@@ -708,19 +724,32 @@ class SceneViewerApplication(Application):
                       cluster_tile=self.CLUSTER_TILE)
         return kw
 
+    def _motion_vectors(self, ctx, surf, depth):
+        from ..renderer.scene_renderer import motion_vectors
+        p = ctx.params
+        return motion_vectors(surf["prev_pos"], surf["covered"], depth,
+                              p["prev_vp_uv"], p["taa_reproj"],
+                              self._rw, self._rh)
+
     def _forward_pass(self, ctx):
         surf, depth = self._raster_surface(ctx)
         color = shade_surface(surf, ctx.params, **self._light_kwargs(ctx))
         color = self._apply_transparent(ctx, color, depth)
-        return {"hdr": color, "depth-main": depth}
+        out = {"hdr": color, "depth-main": depth}
+        if self._use_taa:
+            out["mv"] = self._motion_vectors(ctx, surf, depth)
+        return out
 
     def _gbuffer_pass(self, ctx):
         surf, depth = self._raster_surface(ctx)
-        return {"g-base": surf["base_color"], "g-normal": surf["normal"],
-                "g-pbr": jnp.stack([surf["metallic"], surf["roughness"]],
-                                   axis=-1),
-                "g-emissive": surf["emissive"], "g-pos": surf["pos"],
-                "depth-main": depth, "g-covered": surf["covered"]}
+        out = {"g-base": surf["base_color"], "g-normal": surf["normal"],
+               "g-pbr": jnp.stack([surf["metallic"], surf["roughness"]],
+                                  axis=-1),
+               "g-emissive": surf["emissive"], "g-pos": surf["pos"],
+               "depth-main": depth, "g-covered": surf["covered"]}
+        if self._use_taa:
+            out["mv"] = self._motion_vectors(ctx, surf, depth)
+        return out
 
     def _lighting_pass(self, ctx):
         surf = {"base_color": ctx.input("g-base"),
@@ -743,7 +772,7 @@ class SceneViewerApplication(Application):
         out, hist = taa_resolve(
             ctx.input("hdr"), ctx.history("taa-history"),
             ctx.input("depth-main"), ctx.params["taa_reproj"],
-            self._rw, self._rh)
+            self._rw, self._rh, mv=ctx.input("mv"))
         return {"hdr-resolved": out, "taa-history": hist}
 
     def _fxaa_pass(self, ctx):
@@ -949,6 +978,22 @@ class SceneViewerApplication(Application):
                 else shadow_uv_transform(light_vp)),
             "frame_time": jnp.float32(frame_time),
         }
+        if self._use_taa:
+            # Previous-frame transforms for per-object motion vectors;
+            # first frame reprojects onto itself (mv = 0).
+            prev_state = getattr(self, "_mv_prev", None)
+            if prev_state is None:
+                prev_state = (world.copy(), skin_palette)
+            prev_world_mv, prev_palette_mv = prev_state
+            remap = np.array([[0.5, 0, 0, 0.5], [0, 0.5, 0, 0.5],
+                              [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+            prev_vp_unjit = self._jitter._saved_nojitter[0]
+            params["external"]["prev_world"] = jnp.asarray(prev_world_mv)
+            if prev_palette_mv is not None:
+                params["prev_skin_palette"] = prev_palette_mv
+            params["prev_vp_uv"] = jnp.asarray(
+                (remap @ prev_vp_unjit).astype(np.float32))
+            self._mv_prev = (world.copy(), skin_palette)
         if cascade_vps is not None:
             params["cascade_vps"] = jnp.asarray(cascade_vps)
         if self.config.show_ui:

@@ -117,31 +117,47 @@ def _clamp_box_aabb(color, lo, hi):
 
 
 def taa_resolve(current_hdr, prev_taa, depth, reproj, width: int,
-                height: int):
-    """taa_resolve.frag, TAA_QUALITY=1, static-scene MV fallback.
+                height: int, mv=None):
+    """taa_resolve.frag, TAA_QUALITY=1.
 
     current_hdr: (H, W, 3) linear HDR (this frame, jittered render);
     prev_taa: (H, W, 3) last frame's history in TAA space;
     depth: (H, W) reverse-Z; reproj: (4, 4) from TemporalJitter.
+    mv: optional (H, W, 2) per-object motion vectors uv_cur - uv_prev
+    (reconstruct_mv path) — without it, camera-only reprojection of the
+    depth buffer (the reference's MV==0 fallback; dynamic objects ghost).
     Returns (out_hdr, new_history_taa).
     """
     cur = hdr_to_taa(current_hdr)
 
-    # Nearest-depth (closest = max reverse-Z) over the 5-tap cross.
-    d_c = depth
-    best_d = d_c
-    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-        best_d = jnp.maximum(best_d, _shift(depth[..., None], dy, dx)[..., 0])
-
     u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
     v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
     uu, vv = jnp.meshgrid(u, v)
-    ndc = jnp.stack([2 * uu - 1, 2 * vv - 1, best_d,
-                     jnp.ones_like(uu)], axis=-1)
-    rp = ndc @ reproj.T
-    old_uv = rp[..., :2] / jnp.maximum(jnp.abs(rp[..., 3:4]), 1e-12) * \
-        jnp.sign(rp[..., 3:4])
-    mv = jnp.stack([uu, vv], -1) - old_uv
+    if mv is None:
+        # Nearest-depth (closest = max reverse-Z) over the 5-tap cross.
+        best_d = depth
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            best_d = jnp.maximum(best_d,
+                                 _shift(depth[..., None], dy, dx)[..., 0])
+        ndc = jnp.stack([2 * uu - 1, 2 * vv - 1, best_d,
+                         jnp.ones_like(uu)], axis=-1)
+        rp = ndc @ reproj.T
+        old_uv = rp[..., :2] / jnp.maximum(jnp.abs(rp[..., 3:4]), 1e-12) \
+            * jnp.sign(rp[..., 3:4])
+        mv = jnp.stack([uu, vv], -1) - old_uv
+    else:
+        # Dilate MV toward the nearest-depth neighbor (taa_resolve.frag
+        # closest-fragment search) so silhouettes track the foreground.
+        best_d = depth
+        best_mv = mv
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nd = _shift(depth[..., None], dy, dx)[..., 0]
+            nmv = _shift(mv, dy, dx)
+            closer = nd > best_d
+            best_mv = jnp.where(closer[..., None], nmv, best_mv)
+            best_d = jnp.maximum(best_d, nd)
+        mv = best_mv
+        old_uv = jnp.stack([uu, vv], -1) - mv
     mv_len = jnp.sqrt((mv * mv).sum(-1) + 1e-20)
     mv_fast = jnp.minimum(mv_len * 50.0, 1.0)
 

@@ -321,13 +321,18 @@ def rasterize_scene(scene: PackedScene, clip, object_mask, width: int,
 
 def surface_attributes(scene: PackedScene, setup, tri, world_pos,
                        world_normal, world_tangent, width: int, height: int,
-                       lod_bias: float = 0.0):
+                       lod_bias: float = 0.0, prev_world_pos=None):
     """Visibility-buffer resolve: material gathers + texture sampling +
     normal mapping.  Shared by the forward path (static_mesh.frag) and
     the deferred G-buffer pass (static_mesh.frag DEFERRED variant).
 
+    prev_world_pos: optional (V, 3) LAST-frame world positions — rides
+    the same packed-row gather (zero extra gather passes) and yields
+    surf["prev_pos"] for per-object motion vectors
+    (assets/shaders/reconstruct_mv.frag analogue).
+
     Returns dict: pos, normal, base_color, metallic, roughness, emissive,
-    covered.
+    covered [, prev_pos].
     """
     px, py = R.pixel_centers(width, height)
     covered = tri >= 0
@@ -339,25 +344,29 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
     #   [adj 9 | offset 2 | corner attrs 3x12 | material factors...]
     # This replaces 5+ separate pixel-count gather passes.
     T_ = scene.indices.shape[0]
-    vattrs = jnp.concatenate(
-        [world_pos, world_normal, world_tangent, scene.uvs], axis=1)  # (V,12)
-    corner = vattrs[scene.indices].reshape(T_, 36)        # (T,3) row gather
+    attrs = [world_pos, world_normal, world_tangent, scene.uvs]   # 12
+    if prev_world_pos is not None:
+        attrs.append(prev_world_pos)                              # +3
+    vattrs = jnp.concatenate(attrs, axis=1)               # (V, A)
+    A = vattrs.shape[1]
+    corner = vattrs[scene.indices].reshape(T_, 3 * A)     # (T,3) row gather
     mat_of_tri = scene.tri_material                       # (T,)
     tri_pack = jnp.concatenate([
         setup.adj.reshape(T_, 9),
         setup.offset,                                     # 2
-        corner,                                           # 36
+        corner,                                           # 3A
         scene.mat_base_color[mat_of_tri],                 # 4
         scene.mat_mr[mat_of_tri],                         # 2
         scene.mat_bundle[mat_of_tri].astype(jnp.float32)[:, None],  # 1
         scene.mat_emissive[mat_of_tri],                   # 3
-    ], axis=1)                                            # (T, 57)
+    ], axis=1)                                            # (T, 21+3A)
 
     t = jnp.maximum(tri, 0)
-    row = tri_pack[t]                                     # (H, W, 57)
+    row = tri_pack[t]                                     # (H, W, 21+3A)
     adj = row[..., 0:9].reshape(row.shape[:-1] + (3, 3))
     off = row[..., 9:11]
-    av = row[..., 11:47].reshape(row.shape[:-1] + (3, 12))
+    m0 = 11 + 3 * A
+    av = row[..., 11:m0].reshape(row.shape[:-1] + (3, A))
 
     # Perspective-correct interpolation + analytic screen derivatives
     # (see ops/raster.interpolate_with_derivs for the math).
@@ -382,10 +391,10 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
     duvdx = ddx[..., 10:12]
     duvdy = ddy[..., 10:12]
 
-    base_factor = row[..., 47:51]
-    mr_factor = row[..., 51:53]
-    bundle_id = row[..., 53].astype(jnp.int32)
-    emissive_factor = row[..., 54:57]
+    base_factor = row[..., m0:m0 + 4]
+    mr_factor = row[..., m0 + 4:m0 + 6]
+    bundle_id = row[..., m0 + 6].astype(jnp.int32)
+    emissive_factor = row[..., m0 + 7:m0 + 10]
 
     S = scene.bundles.shape[2]
     lod = T.lod_from_derivs(duvdx[..., 0], duvdx[..., 1],
@@ -425,9 +434,12 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
         emissive = jnp.zeros_like(base_color)
 
     alpha = base_factor[..., 3] * base_tex[..., 3]
-    return {"pos": pos, "normal": n_mapped, "base_color": base_color,
-            "metallic": metallic, "roughness": roughness,
-            "emissive": emissive, "covered": covered, "alpha": alpha}
+    out = {"pos": pos, "normal": n_mapped, "base_color": base_color,
+           "metallic": metallic, "roughness": roughness,
+           "emissive": emissive, "covered": covered, "alpha": alpha}
+    if prev_world_pos is not None:
+        out["prev_pos"] = vals[..., 12:15]
+    return out
 
 
 def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
@@ -527,6 +539,45 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
         # above; without an env (or pixel grid) the clear color is black.
         background = jnp.zeros(3, jnp.float32)
     return jnp.where(surf["covered"][..., None], color, background)
+
+
+def motion_vectors(prev_pos, covered, depth, prev_vp_uv, cam_reproj,
+                   width: int, height: int):
+    """Per-pixel motion vectors mv = uv_cur - uv_prev
+    (assets/shaders/reconstruct_mv.frag; RendererSuite Type MotionVector,
+    renderer/renderer.hpp:182-211).
+
+    Covered pixels reproject the surface's LAST-frame world position
+    (interpolated by surface_attributes from prev_world transforms)
+    through the previous un-jittered view-proj; background pixels fall
+    back to camera-only reprojection of the depth buffer (the
+    reference's MV==0 static path).
+
+    prev_vp_uv: (4, 4) uv_remap @ prev_view_proj (world -> prev UV).
+    cam_reproj: (4, 4) TemporalJitter.reproject_matrix().
+    """
+    u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    uu, vv = jnp.meshgrid(u, v)
+    uv = jnp.stack([uu, vv], axis=-1)
+
+    m = prev_vp_uv
+    xy = prev_pos @ m[:2, :3].T + m[:2, 3]
+    w = prev_pos @ m[3, :3].T + m[3, 3]
+    w = jnp.maximum(jnp.abs(w), 1e-12) * jnp.sign(
+        jnp.where(w == 0, 1.0, w))
+    uv_obj = xy / w[..., None]
+
+    ndc = jnp.concatenate([2 * uv - 1.0, depth[..., None],
+                           jnp.ones_like(depth)[..., None]], axis=-1)
+    rp = ndc @ cam_reproj.T
+    rw = rp[..., 3:4]
+    rw = jnp.maximum(jnp.abs(rw), 1e-12) * jnp.sign(
+        jnp.where(rw == 0, 1.0, rw))
+    uv_cam = rp[..., :2] / rw
+
+    uv_prev = jnp.where(covered[..., None], uv_obj, uv_cam)
+    return uv - uv_prev
 
 
 def transparent_composite(scene: PackedScene, setup, opaque_depth,

@@ -87,3 +87,70 @@ def test_smaa_smooths_staircase():
     edge_vals = np.array([out[y, y, 0] for y in range(4, H - 4)])
     assert ((edge_vals > 0.02) & (edge_vals < 0.98)).any()
     assert not np.isnan(out).any()
+
+
+def test_motion_vectors_translating_point():
+    """A surface point that moved +0.2 NDC in x between frames must get
+    mv.x = +0.1 uv (reconstruct_mv.frag semantics: uv_cur - uv_prev)."""
+    from granite_tpu.renderer.scene_renderer import motion_vectors
+    W, H = 16, 8
+    # Identity "view-proj": world == clip.  Current frame: the surface
+    # point is wherever the pixel is; previous frame it was 0.2 NDC to
+    # the LEFT (object moved right).
+    remap = np.array([[0.5, 0, 0, 0.5], [0, 0.5, 0, 0.5],
+                      [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    prev_vp_uv = jnp.asarray(remap)       # world xy == ndc
+    u = (np.arange(W) + 0.5) / W
+    v = (np.arange(H) + 0.5) / H
+    uu, vv = np.meshgrid(u, v)
+    cur_ndc = np.stack([2 * uu - 1, 2 * vv - 1, np.full_like(uu, 0.5)],
+                       axis=-1)
+    prev_pos = cur_ndc.copy()
+    prev_pos[..., 0] -= 0.2               # was left of current position
+    covered = jnp.ones((H, W), bool)
+    depth = jnp.full((H, W), 0.5, jnp.float32)
+    cam_reproj = jnp.asarray(remap)       # static camera fallback
+    mv = motion_vectors(jnp.asarray(prev_pos.astype(np.float32)),
+                        covered, depth, prev_vp_uv, cam_reproj, W, H)
+    mv = np.asarray(mv)
+    assert np.allclose(mv[..., 0], 0.1, atol=1e-5)
+    assert np.allclose(mv[..., 1], 0.0, atol=1e-5)
+    # Background pixels use the camera fallback (static camera -> 0).
+    mv2 = motion_vectors(jnp.asarray(prev_pos.astype(np.float32)),
+                         jnp.zeros((H, W), bool), depth, prev_vp_uv,
+                         cam_reproj, W, H)
+    assert np.allclose(np.asarray(mv2), 0.0, atol=1e-5)
+
+
+def test_taa_resolve_uses_object_mv():
+    """With per-object MV, a moving flat-colored region must pull its
+    history from the OLD location (no ghosting of the background)."""
+    H, W = 16, 32
+    rng = np.random.RandomState(0)
+    # Frame colors: a bright 8-wide band that moved 4 px right.
+    def band(x0):
+        img = np.zeros((H, W, 3), np.float32)
+        img[:, x0:x0 + 8] = [2.0, 1.0, 0.5]
+        return img
+    prev_hdr = band(8)
+    cur_hdr = band(12)
+    from granite_tpu.ops.taa import hdr_to_taa, taa_resolve
+    prev_taa = np.asarray(hdr_to_taa(jnp.asarray(prev_hdr)))
+    depth = jnp.full((H, W), 0.5, jnp.float32)
+    reproj = jnp.asarray(np.array([[0.5, 0, 0, 0.5], [0, 0.5, 0, 0.5],
+                                   [0, 0, 1, 0], [0, 0, 0, 1]],
+                                  np.float32))
+    mv = np.zeros((H, W, 2), np.float32)
+    mv[:, 12:20, 0] = 4.0 / W             # band pixels moved right
+    out_mv, _ = taa_resolve(jnp.asarray(cur_hdr), jnp.asarray(prev_taa),
+                            depth, reproj, W, H,
+                            mv=jnp.asarray(mv))
+    out_static, _ = taa_resolve(jnp.asarray(cur_hdr),
+                                jnp.asarray(prev_taa), depth, reproj,
+                                W, H)
+    out_mv = np.asarray(out_mv)
+    # Inside the band (away from edges): MV path fetches band history ->
+    # output stays at the band color; static path fetches background
+    # history -> pulled toward black before the clamp re-centers it.
+    center = out_mv[8, 15]
+    assert center[0] > 1.5, center
