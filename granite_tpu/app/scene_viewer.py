@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,6 +51,8 @@ class ViewerConfig:
     directional_light_shadows: bool = True
     directional_light_cascaded_shadows: bool = False
     directional_light_shadows_vsm: bool = False
+    clustered_lights_shadows: bool = True
+    clustered_lights_shadow_resolution: int = 512
     pcf_kernel_wide: bool = False
     hdr_bloom: bool = True
     hdr_bloom_dynamic_exposure: bool = True
@@ -76,6 +79,9 @@ class ViewerConfig:
                 "directional_light_cascaded_shadows",
             "directionalLightShadowsVSM":
                 "directional_light_shadows_vsm",
+            "clusteredLightsShadows": "clustered_lights_shadows",
+            "clusteredLightsShadowsResolution":
+                "clustered_lights_shadow_resolution",
             "PCFKernelWide": "pcf_kernel_wide",
             "hdrBloom": "hdr_bloom",
             "hdrBloomDynamicExposure": "hdr_bloom_dynamic_exposure",
@@ -423,6 +429,7 @@ class SceneViewerApplication(Application):
         zn = max(self.camera.znear, 1e-3)
         zf = self.camera.zfar if self.camera.zfar > 0 else 1000.0
         self._cluster_range = (zn, zf)
+        self._build_light_shadow_atlas()
         g = self.graph
         g.reset()
         g.set_backbuffer_dimensions(width, height)
@@ -718,10 +725,19 @@ class SceneViewerApplication(Application):
                        "levels": self.environment.num_levels})
         if self._has_lights:
             zn, zf = self._cluster_range
+            cs = None
+            if getattr(self, "_cluster_shadow", None) is not None and \
+                    "cluster_shadow_atlas" in p:
+                # Host-side tables ride the trace as constants (tiny);
+                # the atlas itself flows through params so it is a jit
+                # INPUT, not a baked-in constant.
+                cs = dict(self._cluster_shadow,
+                          atlas_flat=p["cluster_shadow_atlas"])
             kw.update(lights=p["lights"],
                       z_masks=p["z_masks"], tile_masks=p["tile_masks"],
                       z_near=zn, z_far=zf,
-                      cluster_tile=self.CLUSTER_TILE)
+                      cluster_tile=self.CLUSTER_TILE,
+                      cluster_shadows=cs)
         return kw
 
     def _motion_vectors(self, ctx, surf, depth):
@@ -835,6 +851,84 @@ class SceneViewerApplication(Application):
         return {"backbuffer": encode_rgba8(ldr)}
 
     # -- frame --------------------------------------------------------------------
+    def _positional_light_infos(self):
+        """Host-side positional light list (order matches
+        _collect_lights)."""
+        from ..scene.scene_formats import LIGHT_POINT, LIGHT_SPOT
+        infos = []
+        for i, nd in enumerate(self.info.nodes):
+            if nd.light is None:
+                continue
+            light = self.info.lights[nd.light]
+            if light.type not in (LIGHT_POINT, LIGHT_SPOT):
+                continue
+            w = self.scene.world[i]
+            d = -w[:3, 2]
+            infos.append({
+                "pos": w[:3, 3].astype(np.float32),
+                "dir": (d / max(np.linalg.norm(d), 1e-9)).astype(
+                    np.float32),
+                "radius": float(light.range if light.range > 0
+                                else 100.0),
+                "outer": float(light.outer_cone),
+                "is_spot": light.type == LIGHT_SPOT,
+            })
+        return infos
+
+    def _build_light_shadow_atlas(self):
+        """Clustered light shadow atlas (clusterer.hpp:52-58 PCF path).
+
+        TPU-native divergence from the reference: the reference
+        re-renders light shadow maps every frame; here the atlas is
+        rendered ONCE from the current pose and cached — static casters
+        dominate positional-light shadows, and re-render happens on
+        config/scene rebuild.  (Per-frame dynamic-caster compositing is
+        future work, noted in PARITY.md.)
+        """
+        self._cluster_shadow = None
+        if not (self._has_lights and self.config.clustered_lights_shadows):
+            return
+        from ..ops.light_shadows import assign_slices, pack_atlas
+        self.scene.update_transform_tree()
+        self.scene.update_cached_transforms()
+        infos = self._positional_light_infos()
+        if not infos:
+            return
+        vps, slice_np, kind_np = assign_slices(infos)
+        size = int(self.config.clustered_lights_shadow_resolution)
+        if jax.default_backend() == "cpu":
+            # CPU fallback: the scan rasterizer at 512^2 x N slices is
+            # test-prohibitive; shadows stay functional at low res.
+            size = min(size, 64)
+        n = self.scene.num_nodes
+        world = jnp.asarray(self.scene.world[:n])
+        from ..scene.scene import RENDERABLE_CASTS_SHADOW
+        caster = (self.packed.obj_flags & RENDERABLE_CASTS_SHADOW) != 0
+        mn, mx = self.scene.r_world_min, self.scene.r_world_max
+        palette = self._skin_palette()
+        rsm = jax.jit(lambda w, vp, m: render_shadow_map(
+            self.packed, w, vp, size, m, skin_palette=palette))
+        slices = []
+        si = 0
+        for li in infos:
+            clamped = np.clip(li["pos"], mn, mx)
+            dist = np.linalg.norm(clamped - li["pos"], axis=1)
+            mask = jnp.asarray(caster & (dist <= li["radius"]))
+            nslices = 1 if li["is_spot"] else 6
+            for f in range(nslices):
+                slices.append(rsm(world, jnp.asarray(vps[si + f]), mask))
+            si += nslices
+        atlas = jnp.stack(slices)
+        self._cluster_shadow = {
+            "atlas_flat": pack_atlas(atlas),
+            "vps_np": vps, "size": size,
+            "light_slice_np": slice_np, "light_kind_np": kind_np,
+            "light_pos_np": np.stack([li["pos"] for li in infos]),
+            "num_lights": len(infos), "k": 2,
+        }
+        LOGI("Clustered shadow atlas: %d lights, %d slices at %d^2",
+             len(infos), len(slices), size)
+
     def _collect_lights(self):
         """Positional lights from scene nodes -> fixed-capacity table."""
         pos, col, rad, dirs, inner, outer, spot = [], [], [], [], [], [], []
@@ -1015,6 +1109,9 @@ class SceneViewerApplication(Application):
             params["tile_masks"] = bin_lights_tiles(
                 lights, params["view_proj"], self._rw, self._rh,
                 self.CLUSTER_TILE)
+            if getattr(self, "_cluster_shadow", None) is not None:
+                params["cluster_shadow_atlas"] = \
+                    self._cluster_shadow["atlas_flat"]
         if self._debug_graph:
             # Breadcrumb/validation mode (GRANITE_DEBUG_GRAPH=1): per-pass
             # sync + NaN scan + pass-trail on faults.

@@ -167,13 +167,19 @@ def positional_light_color(lights: LightBuffer, i, world_pos):
 def shade_clustered(lights: LightBuffer, z_masks, tile_masks, base_color,
                     normal, metallic, roughness_in, world_pos, camera_pos,
                     view, px, py, z_near: float, z_far: float,
-                    tile: int = 64):
+                    tile: int = 64, cluster_shadows=None):
     """compute_cluster_light (lights/clusterer.h): accumulate the full
     cook-torrance response of every light whose cluster mask bit is set.
 
     The fori_loop runs to the static light capacity; per-pixel mask
     where()s keep lanes cheap for unset bits.  z/tile masks are gathered
     per pixel once.
+
+    cluster_shadows: optional dict {atlas_flat, vps_np, size,
+    light_slice_np, light_kind_np, light_pos_np, k, bias} — the shadow
+    atlas path (clusterer.hpp:52-58): per-pixel top-K shadowed-light
+    terms are resolved via ops/light_shadows.topk_shadow_terms and each
+    light's contribution is scaled by its slot's PCF term.
     """
     L = lights.pos.shape[0]
     z_slices = z_masks.shape[0]
@@ -187,6 +193,16 @@ def shade_clustered(lights: LightBuffer, z_masks, tile_masks, base_color,
                    tile_masks.shape[0] - 1)
     pixel_masks = z_masks[s] & tile_masks[tiy, tix]      # (H, W, words)
 
+    shadow_slots = shadow_terms = None
+    if cluster_shadows is not None:
+        from .light_shadows import topk_shadow_terms
+        cs = cluster_shadows
+        shadow_slots, shadow_terms = topk_shadow_terms(
+            cs["atlas_flat"], cs["vps_np"], cs["size"],
+            int(cs["num_lights"]), cs["light_slice_np"],
+            cs["light_kind_np"], cs["light_pos_np"], pixel_masks,
+            world_pos, k=cs.get("k", 4), bias=cs.get("bias", 2e-3))
+
     roughness = roughness_in * 0.75 + 0.25
     V = camera_pos - world_pos
     V = V / jnp.sqrt(jnp.maximum((V * V).sum(-1), 1e-20))[..., None]
@@ -199,6 +215,12 @@ def shade_clustered(lights: LightBuffer, z_masks, tile_masks, base_color,
         bit = jnp.uint32(1) << jnp.uint32(i % 32)
         active = (pixel_masks[..., word] & bit) != 0
         color, Ld = positional_light_color(lights, i, world_pos)
+        if shadow_slots is not None:
+            shadow = jnp.ones_like(metallic)
+            for s in range(shadow_slots.shape[0]):
+                shadow = jnp.where(shadow_slots[s] == i,
+                                   shadow_terms[s], shadow)
+            color = color * shadow[..., None]
         H = Ld + V
         H = H / jnp.sqrt(jnp.maximum((H * H).sum(-1), 1e-20))[..., None]
         nol = jnp.clip((N * Ld).sum(-1), 1e-3, 1.0)

@@ -447,7 +447,8 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
                   width: int = 0, height: int = 0,
                   background=None, pcf_wide: bool = False,
                   z_near: float = 0.1, z_far: float = 1000.0,
-                  cluster_tile: int = 64, env=None):
+                  cluster_tile: int = 64, env=None,
+                  cluster_shadows=None):
     """Lighting from resolved surface attributes: directional + shadow +
     clustered positional lights + emissive (lighting.h compute_lighting +
     compute_cluster_light).  Used by both forward and deferred paths —
@@ -531,7 +532,8 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
             lights, z_masks, tile_masks, surf["base_color"],
             surf["normal"], surf["metallic"], surf["roughness"], pos,
             params["camera_pos"], params["view"], px, py,
-            z_near=z_near, z_far=z_far, tile=cluster_tile)
+            z_near=z_near, z_far=z_far, tile=cluster_tile,
+            cluster_shadows=cluster_shadows)
 
     color = color + surf["emissive"]
     if background is None:
