@@ -53,6 +53,12 @@ class ViewerConfig:
     directional_light_shadows_vsm: bool = False
     clustered_lights_shadows: bool = True
     clustered_lights_shadow_resolution: int = 512
+    # The reference declares ssao=true but hard-disables it in the main
+    # pass (scene_viewer_application.cpp:763-764 `use_ssao = false`);
+    # default off matches its observable output.  ssr defaults off like
+    # the reference (deferred-only, :1206).
+    ssao: bool = False
+    ssr: bool = False
     pcf_kernel_wide: bool = False
     hdr_bloom: bool = True
     hdr_bloom_dynamic_exposure: bool = True
@@ -82,6 +88,8 @@ class ViewerConfig:
             "clusteredLightsShadows": "clustered_lights_shadows",
             "clusteredLightsShadowsResolution":
                 "clustered_lights_shadow_resolution",
+            "ssao": "ssao",
+            "ssr": "ssr",
             "PCFKernelWide": "pcf_kernel_wide",
             "hdrBloom": "hdr_bloom",
             "hdrBloomDynamicExposure": "hdr_bloom_dynamic_exposure",
@@ -503,6 +511,12 @@ class SceneViewerApplication(Application):
             if self.config.occlusion_culling:
                 gb.add_history_input("depth-main")
             gb.set_execute(self._gbuffer_pass)
+            if self.config.ssao:
+                # CACAO-lite AO at half res (post/ssao.cpp analogue).
+                g.add_pass("ssao", Queue.COMPUTE) \
+                    .add_texture_input("depth-main") \
+                    .add_color_output("ssao-output", rel(0.5, 1)) \
+                    .set_execute(self._ssao_pass)
             light = g.add_pass("lighting", Queue.GRAPHICS) \
                 .add_attachment_input("g-base") \
                 .add_attachment_input("g-normal") \
@@ -514,11 +528,25 @@ class SceneViewerApplication(Application):
                 .add_external_input("world") \
                 .add_external_input("normal_mats") \
                 .add_color_output("hdr", rel(1, 3))
+            if self.config.ssao:
+                light.add_texture_input("ssao-output")
             if use_shadow:
                 light.add_texture_input("shadow-depth")
             if self.ocean is not None:
                 light.add_texture_input("ocean-maps")
             light.set_execute(self._lighting_pass)
+            if self.config.ssr:
+                # Stochastic-SSR analogue (post/ssr.cpp; deferred only,
+                # scene_viewer_application.cpp:1206): consumes the lit
+                # output and replaces it.
+                g.add_pass("ssr", Queue.GRAPHICS) \
+                    .add_texture_input("hdr") \
+                    .add_texture_input("depth-main") \
+                    .add_texture_input("g-normal") \
+                    .add_texture_input("g-base") \
+                    .add_texture_input("g-pbr") \
+                    .add_color_output("hdr-ssr", rel(1, 3)) \
+                    .set_execute(self._ssr_pass)
         else:
             forward = g.add_pass("forward", Queue.GRAPHICS) \
                 .add_external_input("world") \
@@ -537,11 +565,14 @@ class SceneViewerApplication(Application):
             forward.set_execute(self._forward_pass)
 
         hdr_name = "hdr"
+        if self.config.renderer == "deferred" and self.config.ssr:
+            hdr_name = "hdr-ssr"
+        self._lit_name = hdr_name
         if self._use_taa:
             # TAA resolve before the HDR chain (taa_resolve.frag);
             # history carried in TAA color space.
             g.add_pass("taa-resolve", Queue.GRAPHICS) \
-                .add_texture_input("hdr") \
+                .add_texture_input(hdr_name) \
                 .add_texture_input("depth-main") \
                 .add_texture_input("mv") \
                 .add_history_input("taa-history") \
@@ -775,7 +806,12 @@ class SceneViewerApplication(Application):
                 "emissive": ctx.input("g-emissive"),
                 "pos": ctx.input("g-pos"),
                 "covered": ctx.input("g-covered")}
-        color = shade_surface(surf, ctx.params, **self._light_kwargs(ctx))
+        kw = self._light_kwargs(ctx)
+        if self.config.ssao:
+            from ..ops.ssao import upsample_ao
+            kw["ao"] = upsample_ao(ctx.input("ssao-output"),
+                                   self._rh, self._rw)
+        color = shade_surface(surf, ctx.params, **kw)
         # Transparent queue forward-renders even in deferred (the
         # reference does the same); XLA CSE merges the re-derived
         # transforms with the G-buffer pass inside the fused program.
@@ -783,10 +819,30 @@ class SceneViewerApplication(Application):
                                         ctx.input("depth-main"))
         return {"hdr": color}
 
+    def _ssao_pass(self, ctx):
+        from ..ops.ssao import ssao
+        proj = self.camera.get_projection()
+        # half-res pixels per world unit at view_z = 1
+        proj_scale = 0.25 * self._rh * abs(float(proj[1, 1]))
+        ao = ssao(ctx.input("depth-main"),
+                  z_near=max(self.camera.znear, 1e-3),
+                  proj_scale=proj_scale)
+        return {"ssao-output": ao}
+
+    def _ssr_pass(self, ctx):
+        from ..ops.ssr import ssr
+        p = ctx.params
+        proj = jnp.asarray(self.camera.get_projection())
+        out = ssr(ctx.input("hdr"), ctx.input("depth-main"),
+                  ctx.input("g-normal"), ctx.input("g-base"),
+                  ctx.input("g-pbr")[..., 0], ctx.input("g-pbr")[..., 1],
+                  p["view"], proj, self._rw, self._rh)
+        return {"hdr-ssr": out}
+
     def _taa_pass(self, ctx):
         from ..ops.taa import taa_resolve
         out, hist = taa_resolve(
-            ctx.input("hdr"), ctx.history("taa-history"),
+            ctx.input(self._lit_name), ctx.history("taa-history"),
             ctx.input("depth-main"), ctx.params["taa_reproj"],
             self._rw, self._rh, mv=ctx.input("mv"))
         return {"hdr-resolved": out, "taa-history": hist}

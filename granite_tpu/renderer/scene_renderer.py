@@ -448,7 +448,7 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
                   background=None, pcf_wide: bool = False,
                   z_near: float = 0.1, z_far: float = 1000.0,
                   cluster_tile: int = 64, env=None,
-                  cluster_shadows=None):
+                  cluster_shadows=None, ao=None):
     """Lighting from resolved surface attributes: directional + shadow +
     clustered positional lights + emissive (lighting.h compute_lighting +
     compute_cluster_light).  Used by both forward and deferred paths —
@@ -476,9 +476,10 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
             shadow_term = sample_directional_shadow(
                 shadow_map, shadow_uv_mat, pos, wide=pcf_wide)
 
+    ambient_factor = jnp.ones_like(surf["metallic"]) if ao is None else ao
     color = compute_lighting(
         surf["base_color"], surf["normal"], surf["metallic"],
-        surf["roughness"], ambient_factor=jnp.ones_like(surf["metallic"]),
+        surf["roughness"], ambient_factor=ambient_factor,
         world_pos=pos, camera_pos=params["camera_pos"],
         light_dir=params["sun_dir"], light_color=params["sun_color"],
         shadow_term=shadow_term, ambient=env is None)
@@ -491,7 +492,9 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
         metal = surf["metallic"]
         rough = surf["roughness"]
         irr = jnp.maximum(eval_sh9(env["sh"], n), 0.0)
-        color = color + irr / jnp.pi * base * (1.0 - metal[..., None])
+        ambient_occ = 1.0 if ao is None else ao[..., None]
+        color = color + irr / jnp.pi * base * (1.0 - metal[..., None]) \
+            * ambient_occ
         v = params["camera_pos"] - pos
         v = v / jnp.sqrt(jnp.maximum((v * v).sum(-1,
                                                  keepdims=True), 1e-20))
@@ -523,7 +526,8 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
         else:
             spec_env = sample_environment(env["strips"], refl, lod)
         f0 = compute_f0(base, metal)
-        color = color + spec_env * fresnel_ibl(f0, nov, rough)
+        color = color + spec_env * fresnel_ibl(f0, nov, rough) \
+            * ambient_occ
 
     if lights is not None:
         from ..ops.clusterer import shade_clustered
