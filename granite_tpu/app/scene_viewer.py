@@ -59,6 +59,7 @@ class ViewerConfig:
     # the reference (deferred-only, :1206).
     ssao: bool = False
     ssr: bool = False
+    volumetric_fog: bool = False
     pcf_kernel_wide: bool = False
     hdr_bloom: bool = True
     hdr_bloom_dynamic_exposure: bool = True
@@ -90,6 +91,7 @@ class ViewerConfig:
                 "clustered_lights_shadow_resolution",
             "ssao": "ssao",
             "ssr": "ssr",
+            "volumetricFog": "volumetric_fog",
             "PCFKernelWide": "pcf_kernel_wide",
             "hdrBloom": "hdr_bloom",
             "hdrBloomDynamicExposure": "hdr_bloom_dynamic_exposure",
@@ -488,6 +490,24 @@ class SceneViewerApplication(Application):
                                                  channels=5)) \
                 .set_execute(self.ocean.fft_pass)
 
+        if self.config.volumetric_fog:
+            # Froxel fog volume (lights/volumetric_fog.hpp:38): light
+            # density + accumulate fused in one async-compute pass; the
+            # main pass composites it (fog_*.comp analogues).
+            from ..ops.volumetric_fog import (
+                DEFAULT_D, DEFAULT_H, DEFAULT_W,
+            )
+            fogp = g.add_pass("fog-volume", Queue.ASYNC_COMPUTE) \
+                .add_storage_output(
+                    "fog-volume",
+                    BufferInfo((DEFAULT_D, DEFAULT_H, DEFAULT_W, 4),
+                               jnp.float32))
+            if use_shadow and not \
+                    self.config.directional_light_cascaded_shadows and \
+                    not self.config.directional_light_shadows_vsm:
+                fogp.add_texture_input("shadow-depth")
+            fogp.set_execute(self._fog_volume_pass)
+
         if self.config.renderer == "deferred":
             # G-buffer pass (scene_viewer_application.cpp:876 deferred
             # geometry) then a lighting resolve (directional.frag +
@@ -530,6 +550,8 @@ class SceneViewerApplication(Application):
                 .add_color_output("hdr", rel(1, 3))
             if self.config.ssao:
                 light.add_texture_input("ssao-output")
+            if self.config.volumetric_fog:
+                light.add_texture_input("fog-volume")
             if use_shadow:
                 light.add_texture_input("shadow-depth")
             if self.ocean is not None:
@@ -556,6 +578,8 @@ class SceneViewerApplication(Application):
             if self._use_taa:
                 forward.add_external_input("prev_world")
                 forward.add_color_output("mv", rel(1, 2))
+            if self.config.volumetric_fog:
+                forward.add_texture_input("fog-volume")
             if use_shadow:
                 forward.add_texture_input("shadow-depth")
             if self.ocean is not None:
@@ -782,6 +806,7 @@ class SceneViewerApplication(Application):
         surf, depth = self._raster_surface(ctx)
         color = shade_surface(surf, ctx.params, **self._light_kwargs(ctx))
         color = self._apply_transparent(ctx, color, depth)
+        color = self._apply_fog(ctx, color, depth)
         out = {"hdr": color, "depth-main": depth}
         if self._use_taa:
             out["mv"] = self._motion_vectors(ctx, surf, depth)
@@ -817,7 +842,36 @@ class SceneViewerApplication(Application):
         # transforms with the G-buffer pass inside the fused program.
         color = self._apply_transparent(ctx, color,
                                         ctx.input("depth-main"))
+        color = self._apply_fog(ctx, color, ctx.input("depth-main"))
         return {"hdr": color}
+
+    def _fog_volume_pass(self, ctx):
+        from ..ops.volumetric_fog import fog_accumulate, fog_light_density
+        p = ctx.params
+        shadow = None
+        uv_mat = None
+        if self.config.directional_light_shadows and not \
+                self.config.directional_light_cascaded_shadows and not \
+                self.config.directional_light_shadows_vsm:
+            shadow = ctx.input("shadow-depth")
+            uv_mat = p["shadow_uv_mat"]
+        ld = fog_light_density(
+            p["inv_view_proj"], self.camera.get_projection(),
+            p["camera_pos"], p["sun_dir"], p["sun_color"],
+            shadow_map=shadow, shadow_uv_mat=uv_mat,
+            lights=p.get("lights"))
+        return {"fog-volume": fog_accumulate(ld)}
+
+    def _apply_fog(self, ctx, color, depth):
+        if not self.config.volumetric_fog:
+            return color
+        from ..ops.volumetric_fog import DEFAULT_Z_RANGE, apply_fog
+        zn = max(self.camera.znear, 1e-3)
+        # reverse-Z infinite far: view depth = znear / ndc_z; background
+        # (ndc 0) saturates to the full fog range.
+        world_z = jnp.where(depth > 1e-8, zn / jnp.maximum(depth, 1e-8),
+                            DEFAULT_Z_RANGE)
+        return apply_fog(color, world_z, ctx.input("fog-volume"))
 
     def _ssao_pass(self, ctx):
         from ..ops.ssao import ssao

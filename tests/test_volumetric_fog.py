@@ -1,0 +1,54 @@
+"""Volumetric fog tests (lights/volumetric_fog.cpp behavioral port)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from granite_tpu.math.muglm import perspective
+from granite_tpu.ops.volumetric_fog import (
+    apply_fog, fog_accumulate, fog_light_density, slice_z_log2_scale,
+    texture_z_to_world, world_to_texture_z,
+)
+
+
+def test_slice_mapping_roundtrip():
+    s = slice_z_log2_scale(80.0)
+    tz = jnp.linspace(0.0, 1.0, 16)
+    wz = texture_z_to_world(tz, s)
+    assert abs(float(wz[-1]) - 80.0) < 1e-3          # full range
+    back = world_to_texture_z(wz, s)
+    assert np.allclose(np.asarray(back), np.asarray(tz), atol=1e-5)
+
+
+def test_accumulate_matches_serial_recurrence():
+    rng = np.random.RandomState(1)
+    ld = rng.rand(8, 4, 4, 4).astype(np.float32) * 0.3
+    out = np.asarray(fog_accumulate(jnp.asarray(ld)))
+    # Serial reference of fog_accumulate.comp (same smoothing taps via
+    # the op itself at D slices of a single column is hard; instead
+    # verify the prefix-sum identity on the SMOOTHED volume by checking
+    # monotonic transmittance and inscatter growth).
+    assert (np.diff(out[..., 3], axis=0) <= 1e-6).all()   # T decreasing
+    assert (np.diff(out[..., 0], axis=0) >= -1e-6).all()  # light grows
+    assert (out[..., 3] <= 1.0 + 1e-6).all()
+
+
+def test_fog_volume_and_apply():
+    proj = perspective(np.pi / 3, 1.0, 0.1)
+    ivp = jnp.asarray(np.linalg.inv(proj).astype(np.float32))
+    ld = fog_light_density(
+        ivp, proj, jnp.zeros(3), jnp.asarray([0.0, 1.0, 0.0]),
+        jnp.asarray([1.0, 1.0, 1.0]), grid=(16, 8, 8))
+    assert ld.shape == (16, 8, 8, 4)
+    assert (np.asarray(ld[..., 3]) > 0).all()        # albedo positive
+    vol = fog_accumulate(ld)
+    color = jnp.ones((32, 32, 3), jnp.float32)
+    near = apply_fog(color, jnp.full((32, 32), 0.5, jnp.float32), vol)
+    far = apply_fog(color, jnp.full((32, 32), 60.0, jnp.float32), vol)
+    # Far surfaces are more fogged: lower transmitted contrast vs near.
+    assert float(np.asarray(far).mean()) != float(np.asarray(near).mean())
+    # Transmittance falls with distance -> far pixels lose more of the
+    # white base color than they gain inscatter (sun-lit thin fog).
+    s = slice_z_log2_scale(80.0)
+    t_near = float(np.asarray(vol[..., 3]).mean(axis=(1, 2))[2])
+    t_far = float(np.asarray(vol[..., 3]).mean(axis=(1, 2))[-1])
+    assert t_far < t_near
