@@ -60,6 +60,12 @@ class ViewerConfig:
     ssao: bool = False
     ssr: bool = False
     volumetric_fog: bool = False
+    # Texture streaming (the reference ALWAYS streams through its
+    # AssetManager; here it is a knob so procedural/benchmark scenes can
+    # skip the fallback-latch warmup).  textureBudgetMB bounds resident
+    # decoded textures (set_asset_budget analogue).
+    texture_streaming: bool = False
+    texture_budget_mb: float = 0.0
     pcf_kernel_wide: bool = False
     hdr_bloom: bool = True
     hdr_bloom_dynamic_exposure: bool = True
@@ -92,6 +98,8 @@ class ViewerConfig:
             "ssao": "ssao",
             "ssr": "ssr",
             "volumetricFog": "volumetric_fog",
+            "textureStreaming": "texture_streaming",
+            "textureBudgetMB": "texture_budget_mb",
             "PCFKernelWide": "pcf_kernel_wide",
             "hdrBloom": "hdr_bloom",
             "hdrBloomDynamicExposure": "hdr_bloom_dynamic_exposure",
@@ -251,7 +259,15 @@ class SceneViewerApplication(Application):
         if self.config.terrain:
             self._add_terrain(info)
         self.scene = self._build_runtime_scene(info)
-        self.packed: PackedScene = pack_scene(info)
+        budget = int(self.config.texture_budget_mb * 2**20) \
+            if self.config.texture_budget_mb > 0 else None
+        self.packed: PackedScene = pack_scene(
+            info, texture_streaming=self.config.texture_streaming,
+            texture_budget=budget)
+        # Scene buffers ride params as jit arguments, not closure
+        # constants (PackedScene.device_arrays) — smaller compiles, and
+        # texture streaming can swap bundle contents without a retrace.
+        self._scene_arrays = self.packed.device_arrays()
         from ..scene.animation import AnimationSystem
         self.animation_system = AnimationSystem(self.scene)
         for anim in info.animations:
@@ -680,20 +696,25 @@ class SceneViewerApplication(Application):
         return prev
 
     # -- passes ------------------------------------------------------------------
+    def _scene_of(self, ctx):
+        """PackedScene with device buffers bound to this trace's params."""
+        return self.packed.with_arrays(ctx.params["scene_arrays"])
+
     def _shadow_pass(self, ctx):
         size = ctx.size("shadow-depth")[0]
+        scene = self._scene_of(ctx)
         if self.config.directional_light_cascaded_shadows:
             # 4-cascade directional shadows (directional.frag
             # SHADOW_NUM_CASCADES): one binned raster per cascade.
             maps = [render_shadow_map(
-                self.packed, ctx.input("world"),
+                scene, ctx.input("world"),
                 ctx.params["cascade_vps"][c], size,
                 ctx.params["shadow_object_mask"],
                 skin_palette=ctx.params.get("skin_palette"))
                 for c in range(4)]
             return {"shadow-depth": jnp.stack(maps)}
         depth = render_shadow_map(
-            self.packed, ctx.input("world"),
+            scene, ctx.input("world"),
             ctx.params["shadow_vp"], size,
             ctx.params["shadow_object_mask"],
             skin_palette=ctx.params.get("skin_palette"))
@@ -711,7 +732,8 @@ class SceneViewerApplication(Application):
             displace_fn = lambda pos, nrm: self.ocean.displace(
                 pos, nrm, vmask, maps)
         return transform_vertices(
-            self.packed, ctx.input("world"), ctx.input("normal_mats"),
+            self._scene_of(ctx), ctx.input("world"),
+            ctx.input("normal_mats"),
             p["view_proj"], displace_fn=displace_fn,
             skin_palette=p.get("skin_palette"))
 
@@ -722,20 +744,22 @@ class SceneViewerApplication(Application):
         from ..renderer.scene_renderer import transparent_composite
         from ..ops import raster as R
         p = ctx.params
+        scene = self._scene_of(ctx)
         clip, wpos, wnrm, wtan = self._transform(ctx)
-        setup = R.setup_triangles(clip, self.packed.indices, self._rw,
+        setup = R.setup_triangles(clip, scene.indices, self._rw,
                                   self._rh, cull_mode=R.CULL_NONE)
         kw = self._light_kwargs(ctx)
         kw.pop("background", None)
         kw.pop("width", None)
         kw.pop("height", None)
         return transparent_composite(
-            self.packed, setup, depth, hdr, clip,
+            scene, setup, depth, hdr, clip,
             p["transparent_mask"], p, width=self._rw, height=self._rh,
             world_pos=wpos, world_normal=wnrm, world_tangent=wtan, **kw)
 
     def _raster_surface(self, ctx):
         p = ctx.params
+        scene = self._scene_of(ctx)
         clip, wpos, wnrm, wtan = self._transform(ctx)
         object_mask = p["object_mask"]
         if self.config.occlusion_culling:
@@ -753,17 +777,17 @@ class SceneViewerApplication(Application):
                                  self._rw, self._rh) | behind
             object_mask = object_mask & occ
         setup, depth, tri = rasterize_scene(
-            self.packed, clip, object_mask, self._rw, self._rh)
+            scene, clip, object_mask, self._rw, self._rh)
         prev_wpos = None
         if self._use_taa:
             # Last-frame vertex positions for per-object motion vectors
             # (reconstruct_mv.frag); rides the packed-row resolve gather.
             from ..renderer.scene_renderer import world_positions
             prev_wpos = world_positions(
-                self.packed, ctx.input("prev_world"),
+                scene, ctx.input("prev_world"),
                 p.get("prev_skin_palette"))
         surf = surface_attributes(
-            self.packed, setup, tri, wpos, wnrm, wtan, self._rw, self._rh,
+            scene, setup, tri, wpos, wnrm, wtan, self._rw, self._rh,
             lod_bias=self.config.lod_bias, prev_world_pos=prev_wpos)
         return surf, depth
 
@@ -1160,6 +1184,7 @@ class SceneViewerApplication(Application):
                 f"{len(self.packed.indices)} tris", 8, 10,
                 (1, 1, 1, 1), scale=1)
         params = {
+            "scene_arrays": self._scene_arrays,
             "external": {"world": jnp.asarray(world),
                          "normal_mats": jnp.asarray(nm)},
             "skin_palette": skin_palette,
@@ -1235,8 +1260,13 @@ class SceneViewerApplication(Application):
         return out
 
     def post_frame(self) -> None:
-        """Application::poll analogue: pump file notifications, apply
-        hot reload (config change -> re-read + re-bake)."""
+        """Application::poll analogue: pump file notifications, asset
+        streaming iterate+latch, hot reload (config change -> re-read +
+        re-bake)."""
+        if self.packed.streamer is not None:
+            # AssetManager::iterate + ResourceManager::latch_handles
+            # (SURVEY §3.4): decode on workers, swap bundle rows in.
+            self._scene_arrays["bundles"] = self.packed.streamer.latch()
         self._fs.poll_notifications()
         if self._reload_config and self._config_path:
             self._reload_config = False

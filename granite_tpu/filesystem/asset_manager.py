@@ -100,6 +100,9 @@ class AssetManager:
     def mark_used(self, aid: AssetID) -> None:
         self._assets[aid].last_used = self._timestamp
 
+    def is_resident(self, aid: AssetID) -> bool:
+        return self._assets[aid].resident
+
     def get_asset(self, aid: AssetID):
         """Resident payload or class fallback (draw-time consumer)."""
         a = self._assets[aid]

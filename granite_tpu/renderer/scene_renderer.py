@@ -79,20 +79,84 @@ class PackedScene:
     has_emissive: bool = True
     scene_aabb_min: np.ndarray = None
     scene_aabb_max: np.ndarray = None
+    # Host-side streaming manager when texture_streaming is on
+    # (assets/streaming.TextureStreamer); None for the eager path.
+    streamer: object = None
+
+    DEVICE_FIELDS = ("positions", "normals", "uvs", "tangents", "v_node",
+                     "indices", "tri_material", "tri_object",
+                     "mat_base_color", "mat_mr", "mat_emissive",
+                     "mat_bundle", "mat_alpha", "mat_two_sided",
+                     "bundles", "v_joints", "v_weights")
+
+    def device_arrays(self) -> dict:
+        """The jax.Array fields as a params pytree.
+
+        Passing scene buffers as jit ARGUMENTS instead of closure
+        constants keeps them out of the serialized executable (the axon
+        remote-compile request has a hard size limit, and constants the
+        size of a texture-bundle array make compiles minutes slower) and
+        lets the streaming path swap bundle contents without a retrace.
+        """
+        return {f: getattr(self, f) for f in self.DEVICE_FIELDS
+                if getattr(self, f) is not None}
+
+    def with_arrays(self, arrays: dict) -> "PackedScene":
+        """Shallow copy with device fields replaced (trace-time use)."""
+        import dataclasses
+        return dataclasses.replace(self, **arrays)
+
+
+def material_bundle_plan(mat_tex: np.ndarray):
+    """Dedupe materials by their (base, mr, normal, emissive) texture
+    tuple.  Returns (mat_bundle (M,) int32, bundle_keys list of
+    4-tuples of texture indices) — shared by the eager pack path and the
+    streaming path (assets/streaming.py)."""
+    bundle_of: dict = {}
+    bundle_keys: list = []
+    M = mat_tex.shape[0]
+    mat_bundle = np.zeros(M, np.int32)
+    for i in range(M):
+        key = tuple(int(t) for t in mat_tex[i])
+        if key not in bundle_of:
+            bundle_of[key] = len(bundle_keys)
+            bundle_keys.append(key)
+        mat_bundle[i] = bundle_of[key]
+    return mat_bundle, bundle_keys
+
+
+def build_bundle_strip(images_rgba: list) -> np.ndarray:
+    """4 linear (S, S, 4) images -> one quad-packed 16-channel gutter
+    strip (f16)."""
+    from ..ops.texture import build_packed_strip_np
+    stacked = np.concatenate(images_rgba, axis=-1)
+    return build_packed_strip_np(stacked)
 
 
 def pack_scene(info: SceneInfo, node_of_instance=None,
-               texture_size: int = 512) -> PackedScene:
+               texture_size: int = 512, texture_streaming: bool = False,
+               texture_budget=None) -> PackedScene:
     """Flatten SceneInfo into global device buffers.
 
     Each (node, mesh-primitive) pair becomes an object.  node_of_instance
     optionally remaps SceneInfo node indices to runtime Scene node indices
     (they match when the Scene was built 1:1 from the SceneInfo).
+
+    texture_streaming: defer texture decode to the AssetManager flow
+    (assets/streaming.py) — bundles start as fallbacks and latch in as
+    images become resident under texture_budget bytes (SURVEY §3.4).
     """
-    tb = TextureArrayBuilder(texture_size)
-    img_to_tex = {}
-    for i, img in enumerate(info.images):
-        img_to_tex[i] = tb.add_image(img, info.image_srgb[i])
+    from ..assets.texture_array import NUM_BUILTIN_TEXTURES
+    tb = None
+    if texture_streaming:
+        # Texture ids assigned without decoding; the streamer owns decode.
+        img_to_tex = {i: NUM_BUILTIN_TEXTURES + i
+                      for i in range(len(info.images))}
+    else:
+        tb = TextureArrayBuilder(texture_size)
+        img_to_tex = {}
+        for i, img in enumerate(info.images):
+            img_to_tex[i] = tb.add_image(img, info.image_srgb[i])
 
     def tex_of(img_idx, fallback):
         return img_to_tex.get(img_idx, fallback) if img_idx is not None \
@@ -126,18 +190,20 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
     # 16-channel quad-packed gutter strip per bundle — full trilinear
     # sampling of all four material textures is then TWO single-index
     # gathers per pixel instead of 32 (ops/texture.py gather economics).
-    from ..ops.texture import build_packed_strip_np
-    bundle_of: dict = {}
-    bundle_strips = []
-    mat_bundle = np.zeros(M, np.int32)
-    for i in range(M):
-        key = tuple(mat_tex[i])
-        if key not in bundle_of:
-            stacked = np.concatenate([tb._images[t] for t in key], axis=-1)
-            bundle_of[key] = len(bundle_strips)
-            bundle_strips.append(build_packed_strip_np(stacked))
-        mat_bundle[i] = bundle_of[key]
-    bundles = np.stack(bundle_strips)
+    mat_bundle, bundle_keys = material_bundle_plan(mat_tex)
+    streamer = None
+    if texture_streaming:
+        from ..assets.streaming import TextureStreamer
+        tex_to_image = {NUM_BUILTIN_TEXTURES + i: i
+                        for i in range(len(info.images))}
+        streamer = TextureStreamer(info, mat_tex, bundle_keys,
+                                   tex_to_image, texture_size,
+                                   budget_bytes=texture_budget)
+        bundles = streamer.initial_bundles()
+    else:
+        bundle_strips = [build_bundle_strip(
+            [tb._images[t] for t in key]) for key in bundle_keys]
+        bundles = np.stack(bundle_strips)
 
     pos_l, nrm_l, uv_l, tan_l, vnode_l = [], [], [], [], []
     idx_l, trimat_l, triobj_l = [], [], []
@@ -220,6 +286,7 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
         mat_mr=jnp.asarray(mat_mr),
         mat_emissive=jnp.asarray(mat_emissive),
         mat_bundle=jnp.asarray(mat_bundle),
+        streamer=streamer,
         mat_alpha=jnp.asarray(mat_alpha),
         mat_two_sided=jnp.asarray(mat_two_sided),
         bundles=jnp.asarray(bundles),
@@ -243,9 +310,11 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
                          for m in info.materials),
     )
     LOGI("PackedScene: %d verts, %d tris, %d objects, %d materials, "
-         "%d textures, %d bundles (%.1f MB f16)", len(positions),
-         len(ps.indices), ps.num_objects, M, len(tb._images),
-         len(bundle_strips), bundles.nbytes / 2**20)
+         "%d textures%s, %d bundles (%.1f MB f16)", len(positions),
+         len(ps.indices), ps.num_objects, M,
+         len(tb._images) if tb is not None else len(info.images),
+         " (streaming)" if streamer is not None else "",
+         len(bundle_keys), ps.bundles.nbytes / 2**20)
     return ps
 
 
@@ -321,7 +390,8 @@ def rasterize_scene(scene: PackedScene, clip, object_mask, width: int,
 
 def surface_attributes(scene: PackedScene, setup, tri, world_pos,
                        world_normal, world_tangent, width: int, height: int,
-                       lod_bias: float = 0.0, prev_world_pos=None):
+                       lod_bias: float = 0.0, prev_world_pos=None,
+                       bundles=None):
     """Visibility-buffer resolve: material gathers + texture sampling +
     normal mapping.  Shared by the forward path (static_mesh.frag) and
     the deferred G-buffer pass (static_mesh.frag DEFERRED variant).
@@ -331,9 +401,15 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
     surf["prev_pos"] for per-object motion vectors
     (assets/shaders/reconstruct_mv.frag analogue).
 
+    bundles: optional override of scene.bundles — the texture-streaming
+    path updates the device bundle array per frame (params-borne so no
+    retrace; assets/streaming.py).
+
     Returns dict: pos, normal, base_color, metallic, roughness, emissive,
     covered [, prev_pos].
     """
+    if bundles is None:
+        bundles = scene.bundles
     px, py = R.pixel_centers(width, height)
     covered = tri >= 0
 
@@ -396,14 +472,14 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
     bundle_id = row[..., m0 + 6].astype(jnp.int32)
     emissive_factor = row[..., m0 + 7:m0 + 10]
 
-    S = scene.bundles.shape[2]
+    S = bundles.shape[2]
     lod = T.lod_from_derivs(duvdx[..., 0], duvdx[..., 1],
                             duvdy[..., 0], duvdy[..., 1], S, S,
                             bias=lod_bias)
     u, v = uv[..., 0], uv[..., 1]
     # ONE bundle fetch (2 single-index gathers) gives all four material
     # textures at the shared (uv, lod): [base | mr | normal | emissive].
-    tex = T.sample_packed_trilinear(scene.bundles, bundle_id, u, v, lod, 16)
+    tex = T.sample_packed_trilinear(bundles, bundle_id, u, v, lod, 16)
     base_tex = tex[..., 0:4]
     base_color = base_factor[..., :3] * base_tex[..., :3]
 

@@ -143,6 +143,12 @@ class GLTFParser:
         for img in doc.get("images", []):
             s.images.append(self._load_image(img))
             s.image_srgb.append(False)  # set per-use below
+            if "uri" in img and not img["uri"].startswith("data:"):
+                from urllib.parse import unquote
+                s.image_paths.append(os.path.join(
+                    self.base_dir, unquote(img["uri"])))
+            else:
+                s.image_paths.append(None)
 
         tex_to_img = [t.get("source", -1) for t in doc.get("textures", [])]
 

@@ -141,6 +141,7 @@ class SceneInfo:
     materials: list = field(default_factory=list)
     images: list = field(default_factory=list)     # numpy RGBA u8 arrays
     image_srgb: list = field(default_factory=list)  # bool per image
+    image_paths: list = field(default_factory=list)  # source path or None
     nodes: list = field(default_factory=list)
     roots: list = field(default_factory=list)
     cameras: list = field(default_factory=list)
