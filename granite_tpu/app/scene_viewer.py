@@ -710,14 +710,16 @@ class SceneViewerApplication(Application):
                 scene, ctx.input("world"),
                 ctx.params["cascade_vps"][c], size,
                 ctx.params["shadow_object_mask"],
-                skin_palette=ctx.params.get("skin_palette"))
+                skin_palette=ctx.params.get("skin_palette"),
+                morph_weights=ctx.params.get("morph_weights"))
                 for c in range(4)]
             return {"shadow-depth": jnp.stack(maps)}
         depth = render_shadow_map(
             scene, ctx.input("world"),
             ctx.params["shadow_vp"], size,
             ctx.params["shadow_object_mask"],
-            skin_palette=ctx.params.get("skin_palette"))
+            skin_palette=ctx.params.get("skin_palette"),
+            morph_weights=ctx.params.get("morph_weights"))
         if self.config.directional_light_shadows_vsm:
             from ..ops.shadow import vsm_moments
             return {"shadow-depth": vsm_moments(depth)}
@@ -735,7 +737,8 @@ class SceneViewerApplication(Application):
             self._scene_of(ctx), ctx.input("world"),
             ctx.input("normal_mats"),
             p["view_proj"], displace_fn=displace_fn,
-            skin_palette=p.get("skin_palette"))
+            skin_palette=p.get("skin_palette"),
+            morph_weights=p.get("morph_weights"))
 
     def _apply_transparent(self, ctx, hdr, depth):
         """Transparent queue over the lit frame (Queue::Transparent)."""
@@ -785,7 +788,8 @@ class SceneViewerApplication(Application):
             from ..renderer.scene_renderer import world_positions
             prev_wpos = world_positions(
                 scene, ctx.input("prev_world"),
-                p.get("prev_skin_palette"))
+                p.get("prev_skin_palette"),
+                morph_weights=p.get("prev_morph_weights"))
         surf = surface_attributes(
             scene, setup, tri, wpos, wnrm, wtan, self._rw, self._rh,
             lod_bias=self.config.lod_bias, prev_world_pos=prev_wpos)
@@ -1092,6 +1096,25 @@ class SceneViewerApplication(Application):
                            np.asarray(inner), np.asarray(outer),
                            np.asarray(spot), capacity=cap)
 
+    def _morph_weights(self):
+        """Per-frame (NI, MT) morph weights for the packed morph
+        instances (AnimationSystem weights channels override the node/
+        mesh defaults)."""
+        if self.packed.morph_deltas is None:
+            return None
+        rows = []
+        defaults = self.packed.morph_default_weights
+        mt = defaults.shape[1]
+        for i, node in enumerate(self.packed.morph_nodes):
+            w = self.scene.node_morph_weights.get(int(node))
+            if w is None:
+                rows.append(defaults[i])
+            else:
+                row = np.zeros(mt, np.float32)
+                row[:min(len(w), mt)] = w[:mt]
+                rows.append(row)
+        return jnp.asarray(np.stack(rows))
+
     def _skin_palette(self):
         """Per-frame joint matrices: world[joint] @ inverse_bind, all
         skins concatenated (SkinnedMesh::get_world_transforms analogue)."""
@@ -1171,6 +1194,7 @@ class SceneViewerApplication(Application):
             np.float32)
 
         skin_palette = self._skin_palette()
+        morph_weights = self._morph_weights()
         if self.config.show_ui:
             from ..ui.flat_renderer import FlatRenderer
             if not hasattr(self, "_flat") or \
@@ -1188,6 +1212,7 @@ class SceneViewerApplication(Application):
             "external": {"world": jnp.asarray(world),
                          "normal_mats": jnp.asarray(nm)},
             "skin_palette": skin_palette,
+            "morph_weights": morph_weights,
             "view_proj": jnp.asarray(self.context.view_projection),
             "inv_view_proj": jnp.asarray(np.linalg.inv(
                 self.context.view_projection).astype(np.float32)),
@@ -1212,17 +1237,19 @@ class SceneViewerApplication(Application):
             # first frame reprojects onto itself (mv = 0).
             prev_state = getattr(self, "_mv_prev", None)
             if prev_state is None:
-                prev_state = (world.copy(), skin_palette)
-            prev_world_mv, prev_palette_mv = prev_state
+                prev_state = (world.copy(), skin_palette, morph_weights)
+            prev_world_mv, prev_palette_mv, prev_morph_mv = prev_state
             remap = np.array([[0.5, 0, 0, 0.5], [0, 0.5, 0, 0.5],
                               [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
             prev_vp_unjit = self._jitter._saved_nojitter[0]
             params["external"]["prev_world"] = jnp.asarray(prev_world_mv)
             if prev_palette_mv is not None:
                 params["prev_skin_palette"] = prev_palette_mv
+            if prev_morph_mv is not None:
+                params["prev_morph_weights"] = prev_morph_mv
             params["prev_vp_uv"] = jnp.asarray(
                 (remap @ prev_vp_unjit).astype(np.float32))
-            self._mv_prev = (world.copy(), skin_palette)
+            self._mv_prev = (world.copy(), skin_palette, morph_weights)
         if cascade_vps is not None:
             params["cascade_vps"] = jnp.asarray(cascade_vps)
         if self.config.show_ui:

@@ -71,6 +71,15 @@ class PackedScene:
     num_static_verts: int = 0
     v_joints: Optional[jax.Array] = None   # (Vskin, 4) palette indices
     v_weights: Optional[jax.Array] = None  # (Vskin, 4) f32
+    # Morph targets (glTF primitive.targets; scene_formats.hpp weights):
+    # vertices [morph_v0, morph_v0 + Vm) carry per-target deltas blended
+    # by per-instance weights before node/skin transforms.
+    morph_v0: int = -1
+    morph_nodes: list = None               # host: node per morph instance
+    morph_default_weights: np.ndarray = None   # host (NI, MT)
+    v_morph_inst: Optional[jax.Array] = None   # (Vm,) i32 instance id
+    morph_deltas: Optional[jax.Array] = None   # (Vm, MT, 3) pos deltas
+    morph_normal_deltas: Optional[jax.Array] = None  # (Vm, MT, 3)
     # Shader-variant capability flags (ShaderSuite material-flag variant
     # resolution, renderer/shader_suite.hpp:72): texture fetches for
     # capabilities no material uses are compiled out of the trace.
@@ -87,7 +96,8 @@ class PackedScene:
                      "indices", "tri_material", "tri_object",
                      "mat_base_color", "mat_mr", "mat_emissive",
                      "mat_bundle", "mat_alpha", "mat_two_sided",
-                     "bundles", "v_joints", "v_weights")
+                     "bundles", "v_joints", "v_weights", "v_morph_inst",
+                     "morph_deltas", "morph_normal_deltas")
 
     def device_arrays(self) -> dict:
         """The jax.Array fields as a params pytree.
@@ -225,17 +235,34 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
         skin_offsets.append(off)
         off += len(sk.joints)
 
-    # Static instances first, skinned last (vertex-range split).
+    # Vertex-range blocks: plain | morph-only | morph+skin | skin-only —
+    # both the morph range and the skin range stay contiguous.
     instances = []
     for node_idx, nd in enumerate(info.nodes):
         for mesh_idx in nd.meshes:
             md = info.meshes[mesh_idx]
             skinned = nd.skin is not None and md.joints is not None
-            instances.append((skinned, node_idx, md, nd))
+            morphed = md.morph_position_deltas is not None
+            block = (1 if morphed and not skinned else
+                     2 if morphed and skinned else
+                     3 if skinned else 0)
+            instances.append((block, node_idx, md, nd))
     instances.sort(key=lambda x: x[0])
 
+    # Global morph-target slot count (pad per-mesh target lists).
+    mt_max = max((len(md.morph_position_deltas)
+                  for _b, _n, md, _nd in instances
+                  if md.morph_position_deltas is not None), default=0)
+    morph_v0 = -1
+    v_morph_inst_l, morph_pos_l, morph_nrm_l = [], [], []
+    morph_nodes, morph_defaults = [], []
+    any_morph_nrm = any(
+        md.morph_normal_deltas is not None
+        for _b, _n, md, _nd in instances)
+
     num_static_verts = 0
-    for skinned, node_idx, md, nd in instances:
+    for block, node_idx, md, nd in instances:
+        skinned = block in (2, 3)
         rt_node = node_of_instance[node_idx] if node_of_instance else node_idx
         v = len(md.positions)
         t = len(md.indices)
@@ -265,6 +292,29 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
             weights_l.append((w / np.maximum(ws, 1e-9)).astype(np.float32))
         else:
             num_static_verts += v
+        if block in (1, 2):
+            flags |= RENDERABLE_DYNAMIC
+            if morph_v0 < 0:
+                morph_v0 = v_off
+            inst_id = len(morph_nodes)
+            morph_nodes.append(rt_node)
+            dw = np.zeros(mt_max, np.float32)
+            defaults = nd.morph_weights if nd.morph_weights is not None \
+                else md.default_morph_weights
+            if defaults is not None:
+                dw[:len(defaults)] = defaults
+            morph_defaults.append(dw)
+            v_morph_inst_l.append(np.full(v, inst_id, np.int32))
+            dp = np.zeros((v, mt_max, 3), np.float32)
+            for ti, d in enumerate(md.morph_position_deltas):
+                dp[:, ti] = d
+            morph_pos_l.append(dp)
+            if any_morph_nrm:
+                dn = np.zeros((v, mt_max, 3), np.float32)
+                if md.morph_normal_deltas is not None:
+                    for ti, d in enumerate(md.morph_normal_deltas):
+                        dn[:, ti] = d
+                morph_nrm_l.append(dn)
         obj_flags.append(flags)
         v_off += v
 
@@ -301,6 +351,16 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
                   if joints_l else None),
         v_weights=(jnp.asarray(np.concatenate(weights_l))
                    if weights_l else None),
+        morph_v0=morph_v0,
+        morph_nodes=morph_nodes,
+        morph_default_weights=(np.stack(morph_defaults)
+                               if morph_defaults else None),
+        v_morph_inst=(jnp.asarray(np.concatenate(v_morph_inst_l))
+                      if v_morph_inst_l else None),
+        morph_deltas=(jnp.asarray(np.concatenate(morph_pos_l))
+                      if morph_pos_l else None),
+        morph_normal_deltas=(jnp.asarray(np.concatenate(morph_nrm_l))
+                             if morph_nrm_l else None),
         has_normal_maps=any(m.normal_image is not None
                             for m in info.materials),
         has_mr_textures=any(m.metallic_roughness_image is not None
@@ -322,8 +382,29 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
 # Device-side frame stages (called from graph pass execute fns).
 # ---------------------------------------------------------------------------
 
+def apply_morphs(scene: PackedScene, positions, normals=None,
+                 morph_weights=None):
+    """Blend morph-target deltas into the vertex range [morph_v0, ..)
+    (glTF: morph before skin/node transforms).  morph_weights: (NI, MT)
+    per-instance weights (params-borne, animated per frame)."""
+    if scene.morph_deltas is None or morph_weights is None:
+        return positions, normals
+    m0 = scene.morph_v0
+    vm = scene.morph_deltas.shape[0]
+    w = morph_weights[scene.v_morph_inst]          # (Vm, MT)
+    dp = (scene.morph_deltas * w[..., None]).sum(1)
+    positions = jnp.concatenate(
+        [positions[:m0], positions[m0:m0 + vm] + dp, positions[m0 + vm:]])
+    if normals is not None and scene.morph_normal_deltas is not None:
+        dn = (scene.morph_normal_deltas * w[..., None]).sum(1)
+        normals = jnp.concatenate(
+            [normals[:m0], normals[m0:m0 + vm] + dn, normals[m0 + vm:]])
+    return positions, normals
+
+
 def transform_vertices(scene: PackedScene, world, normal_mats, view_proj,
-                       displace_fn=None, skin_palette=None):
+                       displace_fn=None, skin_palette=None,
+                       morph_weights=None):
     """Per-vertex node-matrix gather + transform.
 
     world: (N, 4, 4); normal_mats: (N, 3, 3); view_proj: (4, 4).
@@ -337,16 +418,17 @@ def transform_vertices(scene: PackedScene, world, normal_mats, view_proj,
     ocean.vert's heightmap fetch) applied before projection.
     """
     wm = world[scene.v_node]                          # (V, 4, 4)
-    p = scene.positions
+    p, base_normals = apply_morphs(scene, scene.positions, scene.normals,
+                                   morph_weights)
     world_pos = jnp.einsum("vij,vj->vi", wm[:, :3, :3], p) + wm[:, :3, 3]
     nm = normal_mats[scene.v_node]
-    world_normal = jnp.einsum("vij,vj->vi", nm, scene.normals)
+    world_normal = jnp.einsum("vij,vj->vi", nm, base_normals)
     if scene.v_joints is not None and skin_palette is not None:
         # Skinned tail segment: blend joint matrices from the palette
         # (SkinnedMesh path; skin matrices already map bind -> world).
         vs = scene.num_static_verts
-        sp = scene.positions[vs:]
-        sn = scene.normals[vs:]
+        sp = p[vs:]
+        sn = base_normals[vs:]
         pm = skin_palette[scene.v_joints]              # (Vsk, 4, 4, 4)
         w = scene.v_weights[..., None, None]
         blended = (pm * w).sum(axis=1)                 # (Vsk, 4, 4)
@@ -711,10 +793,13 @@ def _normalize(v, eps=1e-20):
     return v / jnp.sqrt(jnp.maximum((v * v).sum(-1), eps))[..., None]
 
 
-def world_positions(scene: PackedScene, world, skin_palette=None):
-    """World-space vertex positions (node transform + optional skinning)."""
+def world_positions(scene: PackedScene, world, skin_palette=None,
+                    morph_weights=None):
+    """World-space vertex positions (morph + node transform + optional
+    skinning)."""
     wm = world[scene.v_node]
-    p = scene.positions
+    p, _ = apply_morphs(scene, scene.positions,
+                        morph_weights=morph_weights)
     world_pos = jnp.einsum("vij,vj->vi", wm[:, :3, :3], p) + wm[:, :3, 3]
     if scene.v_joints is not None and skin_palette is not None:
         vs = scene.num_static_verts
@@ -722,18 +807,19 @@ def world_positions(scene: PackedScene, world, skin_palette=None):
         w = scene.v_weights[..., None, None]
         blended = (pm * w).sum(axis=1)
         spos = jnp.einsum("vij,vj->vi", blended[:, :3, :3],
-                          scene.positions[vs:]) + blended[:, :3, 3]
+                          p[vs:]) + blended[:, :3, 3]
         world_pos = jnp.concatenate([world_pos[:vs], spos])
     return world_pos
 
 
 def render_shadow_map(scene: PackedScene, world, light_vp, size: int,
-                      object_mask, skin_palette=None):
+                      object_mask, skin_palette=None, morph_weights=None):
     """Depth-only raster from the light's view (the shadow-map pass;
     assets/shaders/static_mesh_depth.vert analogue).  Front faces kept —
     the reference renders shadow maps without cull flip, relying on depth
     bias in the compare."""
-    world_pos = world_positions(scene, world, skin_palette)
+    world_pos = world_positions(scene, world, skin_palette,
+                                morph_weights=morph_weights)
     lv = jnp.asarray(light_vp)
     clip = world_pos @ lv[:3, :3].T + lv[:3, 3]
     clip_w = world_pos @ lv[3, :3].T + lv[3, 3]

@@ -102,4 +102,8 @@ class AnimationSystem:
                     scene.rotation[node] = v / max(n, 1e-12)
                 elif path == "scale":
                     scene.scale[node] = v
-                # "weights" (morph targets) not yet supported
+                elif path == "weights":
+                    # Morph-target weights (scene_formats.hpp weights
+                    # channel); consumed by the packer's morph ranges.
+                    scene.node_morph_weights[node] = np.asarray(
+                        v, np.float32)

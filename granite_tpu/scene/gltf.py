@@ -235,6 +235,24 @@ class GLTFParser:
                         prim["indices"]).reshape(-1)[::1].astype(
                             np.int32).reshape(-1, 3)
                 md.material = prim.get("material", -1)
+                targets = prim.get("targets")
+                if targets:
+                    # Morph targets (scene_formats.hpp weights channel).
+                    md.morph_position_deltas = [
+                        self._accessor(t["POSITION"]).astype(np.float32)
+                        if "POSITION" in t
+                        else np.zeros_like(md.positions)
+                        for t in targets]
+                    if any("NORMAL" in t for t in targets):
+                        md.morph_normal_deltas = [
+                            self._accessor(t["NORMAL"]).astype(np.float32)
+                            if "NORMAL" in t
+                            else np.zeros((len(md.positions), 3),
+                                          np.float32)
+                            for t in targets]
+                    w = mesh.get("weights")
+                    md.default_morph_weights = np.asarray(
+                        w, np.float32) if w is not None else                         np.zeros(len(targets), np.float32)
                 md.finalize()
                 prims.append(len(s.meshes))
                 s.meshes.append(md)
@@ -288,6 +306,8 @@ class GLTFParser:
                 nd.light = ext["light"]
             if "skin" in n:
                 nd.skin = n["skin"]
+            if "weights" in n:
+                nd.morph_weights = np.asarray(n["weights"], np.float32)
             s.nodes.append(nd)
 
         scene_idx = doc.get("scene", 0)
@@ -319,6 +339,9 @@ class GLTFParser:
                         vals = vals[:, [3, 0, 1, 2]]
                 elif interp == "CUBICSPLINE":
                     vals = vals.reshape(len(times), 3, -1)
+                elif path == "weights":
+                    # Morph weights: SCALAR stream of K*T values.
+                    vals = vals.reshape(len(times), -1)
                 ad.channels.append(dict(node=tgt["node"], path=path,
                                         interp=interp, times=times,
                                         values=vals))

@@ -57,6 +57,8 @@ class Scene:
         self.r_aabb_max = np.zeros((0, 3), np.float32)
         self.r_world_min = np.zeros((0, 3), np.float32)
         self.r_world_max = np.zeros((0, 3), np.float32)
+        # Morph-target weights per node (sparse: only morphing nodes).
+        self.node_morph_weights: dict[int, np.ndarray] = {}
 
     # -- node management --------------------------------------------------------
     def create_node(self, parent: int = -1, translation=None, rotation=None,

@@ -51,6 +51,11 @@ class MeshData:
     colors: Optional[np.ndarray] = None          # (V, 4)
     joints: Optional[np.ndarray] = None          # (V, 4) u16
     weights: Optional[np.ndarray] = None         # (V, 4) f32
+    # Morph targets (scene_formats.hpp weights channel; glTF
+    # primitive.targets): per-target position/normal deltas.
+    morph_position_deltas: Optional[list] = None  # [T x (V, 3)]
+    morph_normal_deltas: Optional[list] = None    # [T x (V, 3)]
+    default_morph_weights: Optional[np.ndarray] = None  # (T,)
     indices: np.ndarray = None                   # (T, 3) i32
     material: int = -1
     aabb_min: np.ndarray = None
@@ -89,6 +94,7 @@ class NodeData:
     camera: Optional[int] = None
     light: Optional[int] = None
     skin: Optional[int] = None
+    morph_weights: Optional[np.ndarray] = None    # node weights override
 
 
 @dataclass
