@@ -312,8 +312,12 @@ class SceneViewerApplication(Application):
         # of the reference's baked environment probes + skybox).
         from ..renderer.environment import Environment, \
             procedural_sky_equirect
-        self.environment = Environment(procedural_sky_equirect(
-            128, sun_dir=self._sun_dir, sun_color=self._sun_color))
+        sky_params = dict(sun_dir=tuple(float(v) for v in self._sun_dir),
+                          sun_color=tuple(float(v)
+                                          for v in self._sun_color))
+        self.environment = Environment(
+            procedural_sky_equirect(128, **sky_params),
+            sky_params=sky_params)
 
     def _add_ocean(self, info: SceneInfo) -> None:
         """Compose an FFT ocean into the scene (renderer/ocean.cpp;
@@ -452,6 +456,9 @@ class SceneViewerApplication(Application):
         from ..scene.scene import RENDERABLE_TRANSPARENT
         self._has_transparent = bool(
             (self.packed.obj_flags & RENDERABLE_TRANSPARENT).any())
+        from ..scene.scene import RENDERABLE_DYNAMIC
+        self._has_dynamic_casters = bool(
+            (self.packed.obj_flags & RENDERABLE_DYNAMIC).any())
         zn = max(self.camera.znear, 1e-3)
         zf = self.camera.zfar if self.camera.zfar > 0 else 1000.0
         self._cluster_range = (zn, zf)
@@ -714,12 +721,23 @@ class SceneViewerApplication(Application):
                 morph_weights=ctx.params.get("morph_weights"))
                 for c in range(4)]
             return {"shadow-depth": jnp.stack(maps)}
-        depth = render_shadow_map(
-            scene, ctx.input("world"),
-            ctx.params["shadow_vp"], size,
-            ctx.params["shadow_object_mask"],
-            skin_palette=ctx.params.get("skin_palette"),
-            morph_weights=ctx.params.get("morph_weights"))
+        if "static_shadow_depth" in ctx.params:
+            depth = ctx.params["static_shadow_depth"]
+            if self._has_dynamic_casters:
+                dyn = render_shadow_map(
+                    scene, ctx.input("world"),
+                    ctx.params["shadow_vp"], size,
+                    ctx.params["dynamic_shadow_object_mask"],
+                    skin_palette=ctx.params.get("skin_palette"),
+                    morph_weights=ctx.params.get("morph_weights"))
+                depth = jnp.maximum(depth, dyn)   # reverse-Z: max=closer
+        else:
+            depth = render_shadow_map(
+                scene, ctx.input("world"),
+                ctx.params["shadow_vp"], size,
+                ctx.params["shadow_object_mask"],
+                skin_palette=ctx.params.get("skin_palette"),
+                morph_weights=ctx.params.get("morph_weights"))
         if self.config.directional_light_shadows_vsm:
             from ..ops.shadow import vsm_moments
             return {"shadow-depth": vsm_moments(depth)}
@@ -805,7 +823,8 @@ class SceneViewerApplication(Application):
                   background=None,     # skybox from the environment
                   pcf_wide=self.config.pcf_kernel_wide,
                   env={"strips": p["env_strips"], "sh": p["env_sh"],
-                       "levels": self.environment.num_levels})
+                       "levels": self.environment.num_levels,
+                       "sky_params": self.environment.sky_params})
         if self._has_lights:
             zn, zf = self._cluster_range
             cs = None
@@ -1180,13 +1199,17 @@ class SceneViewerApplication(Application):
             cascade_vps = cascade_matrices(
                 self._sun_dir, self.camera.position,
                 self.camera.get_front(), mn, mx)
-        shadow_mask = np.zeros(self.packed.num_objects, bool)
-        shadow_mask[scene.gather_visible_static_shadow_renderables(
+        static_shadow_mask = np.zeros(self.packed.num_objects, bool)
+        static_shadow_mask[scene.gather_visible_static_shadow_renderables(
             Frustum(light_vp))] = True
-        shadow_mask[scene.gather_visible_dynamic_shadow_renderables(
+        dynamic_shadow_mask = np.zeros(self.packed.num_objects, bool)
+        dynamic_shadow_mask[scene.gather_visible_dynamic_shadow_renderables(
             Frustum(light_vp))] = True
+        shadow_mask = static_shadow_mask | dynamic_shadow_mask
         if self._ocean_obj >= 0:
             shadow_mask[self._ocean_obj] = False  # water casts no shadow
+            static_shadow_mask[self._ocean_obj] = False
+            dynamic_shadow_mask[self._ocean_obj] = False
 
         n = scene.num_nodes
         world = scene.world[:n]
@@ -1195,6 +1218,36 @@ class SceneViewerApplication(Application):
 
         skin_palette = self._skin_palette()
         morph_weights = self._morph_weights()
+
+        static_shadow = None
+        if self.config.directional_light_shadows and not \
+                self.config.directional_light_cascaded_shadows:
+            # TPU-native static/dynamic shadow split: the static-caster
+            # depth map re-renders only when the light frustum or caster
+            # set changes (the reference re-renders per frame because GPU
+            # raster is cheap; here a 2048^2 binned raster is the second
+            # most expensive stage).  Dynamic casters composite on top in
+            # the per-frame shadow pass via reverse-Z max.
+            # Key includes the static casters' world matrices: TRS-
+            # animated nodes are not flagged DYNAMIC (only skin/morph),
+            # so their motion must invalidate the cache.
+            static_nodes = np.unique(
+                self.packed.obj_node[static_shadow_mask])
+            key = (light_vp.tobytes(), static_shadow_mask.tobytes(),
+                   world[static_nodes].tobytes(),
+                   int(self.config.shadow_map_resolution))
+            cached = getattr(self, "_static_shadow_cache", None)
+            if cached is None or cached[0] != key:
+                size = int(self.config.shadow_map_resolution)
+                static_shadow = jax.jit(
+                    lambda w, m: render_shadow_map(
+                        self.packed.with_arrays(self._scene_arrays),
+                        w, light_vp, size, m))(
+                            jnp.asarray(world),
+                            jnp.asarray(static_shadow_mask))
+                self._static_shadow_cache = (key, static_shadow)
+            else:
+                static_shadow = cached[1]
         if self.config.show_ui:
             from ..ui.flat_renderer import FlatRenderer
             if not hasattr(self, "_flat") or \
@@ -1230,6 +1283,8 @@ class SceneViewerApplication(Application):
                 np.stack([shadow_uv_transform(m) for m in cascade_vps])
                 if cascade_vps is not None
                 else shadow_uv_transform(light_vp)),
+            "dynamic_shadow_object_mask": jnp.asarray(
+                dynamic_shadow_mask),
             "frame_time": jnp.float32(frame_time),
         }
         if self._use_taa:
@@ -1250,6 +1305,8 @@ class SceneViewerApplication(Application):
             params["prev_vp_uv"] = jnp.asarray(
                 (remap @ prev_vp_unjit).astype(np.float32))
             self._mv_prev = (world.copy(), skin_palette, morph_weights)
+        if static_shadow is not None:
+            params["static_shadow_depth"] = static_shadow
         if cascade_vps is not None:
             params["cascade_vps"] = jnp.asarray(cascade_vps)
         if self.config.show_ui:

@@ -98,7 +98,12 @@ def eval_sh9(sh, n):
 class Environment:
     """Sky + IBL bundle handed to the shading kernels."""
 
-    def __init__(self, equirect: np.ndarray, intensity: float = 1.0):
+    def __init__(self, equirect: np.ndarray, intensity: float = 1.0,
+                 sky_params: dict | None = None):
+        """sky_params: when the equirect came from
+        procedural_sky_equirect, its parameters — enables the ANALYTIC
+        sky path (closed-form evaluation per pixel, zero gathers; the
+        TPU-native specialization of the reference's skybox texture)."""
         from ..ops.texture import build_packed_strip_np
         h, w = equirect.shape[:2]
         # Resample equirect (H, 2H) -> square pow2 (S, S); stored as a
@@ -118,6 +123,7 @@ class Environment:
         self.sh = jnp.asarray(project_sh9(equirect) * intensity)
         self.intensity = intensity
         self.num_levels = int(np.log2(s)) + 1
+        self.sky_params = sky_params
 
     def device_params(self) -> dict:
         return {"env_strips": self.strips, "env_sh": self.sh}
@@ -143,3 +149,26 @@ def sample_environment(strips, dirs, lod):
                                    jnp.int32(lod), 4, wrap=0)[..., :3]
     return sample_packed_trilinear(strips, jnp.int32(0), u, v, lod,
                                    4, wrap=0)[..., :3]
+
+
+def analytic_sky(dirs, sun_dir=(0.35, 0.9, 0.25),
+                 sun_color=(3.0, 2.8, 2.5), zenith=(0.20, 0.35, 0.65),
+                 horizon=(0.55, 0.62, 0.72), ground=(0.22, 0.2, 0.18)):
+    """Closed-form procedural sky (the continuous twin of
+    procedural_sky_equirect) — background pixels cost pure VPU math
+    instead of a per-pixel texture gather."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    n = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
+    xn, yn, zn = x / n, y / n, z / n
+    sd = np.asarray(sun_dir, np.float32)
+    sd = sd / np.linalg.norm(sd)
+    cos_sun = xn * sd[0] + yn * sd[1] + zn * sd[2]
+    t = jnp.clip(yn, 0.0, 1.0) ** 0.7
+    sky = (jnp.asarray(horizon, jnp.float32) * (1 - t[..., None])
+           + jnp.asarray(zenith, jnp.float32) * t[..., None])
+    g = jnp.clip(-yn, 0.0, 1.0)[..., None]
+    img = sky * (1 - g) + jnp.asarray(ground, jnp.float32) * g
+    sun = jnp.clip((cos_sun - 0.9995) / 0.0005, 0.0, 1.0)[..., None]
+    halo = (jnp.clip(cos_sun, 0, 1) ** 64)[..., None]
+    return img + jnp.asarray(sun_color, jnp.float32) \
+        * (40.0 * sun + 0.2 * halo)

@@ -660,11 +660,6 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
         refl = 2.0 * nov[..., None] * n - v
         lod = rough * (env["levels"] - 1.0)
         if background is None and width and height:
-            # Merge the IBL-specular and skybox fetches into ONE env
-            # sample stream: covered pixels use (refl, rough-lod),
-            # background pixels the view ray at lod 0 — saving a full
-            # per-pixel gather pass (gathers cost ~11ns/index on TPU
-            # regardless of locality; op count is the lever).
             px, py = R.pixel_centers(width, height)
             ivp = params["inv_view_proj"]
             ndc = jnp.stack([2 * (px + 0.0) / width - 1,
@@ -676,11 +671,26 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
                 jnp.abs(wp[..., 3:4]) < 1e-20, 1e-20, wp[..., 3:4]) \
                 - params["camera_pos"]
             cov = surf["covered"]
-            dirs = jnp.where(cov[..., None], refl, view_dirs)
-            lod = jnp.where(cov, lod, 0.0)
-            env_sample = sample_environment(env["strips"], dirs, lod)
-            spec_env = env_sample
-            background = env_sample
+            if env.get("sky_params"):
+                # Procedural env: ANALYTIC sky (zero gathers) + spec IBL
+                # sampled at half res and bilinearly upsampled — the
+                # prefiltered chain is low-frequency, and per-pixel
+                # gathers cost ~11ns/index, so index count is the lever.
+                from .environment import analytic_sky
+                background = analytic_sky(view_dirs, **env["sky_params"])
+                from ..ops.hdr import resize_bilinear
+                spec_h = sample_environment(
+                    env["strips"], refl[::2, ::2], lod[::2, ::2])
+                spec_env = resize_bilinear(spec_h, height, width)
+            else:
+                # File-based env: merge the IBL-specular and skybox
+                # fetches into ONE full-res sample stream (covered
+                # pixels reflect, background pixels view ray at lod 0).
+                dirs = jnp.where(cov[..., None], refl, view_dirs)
+                lod = jnp.where(cov, lod, 0.0)
+                env_sample = sample_environment(env["strips"], dirs, lod)
+                spec_env = env_sample
+                background = env_sample
         else:
             spec_env = sample_environment(env["strips"], refl, lod)
         f0 = compute_f0(base, metal)
