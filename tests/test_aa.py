@@ -154,3 +154,44 @@ def test_taa_resolve_uses_object_mv():
     # history -> pulled toward black before the clamp re-centers it.
     center = out_mv[8, 15]
     assert center[0] > 1.5, center
+
+
+def test_smaa_diagonal_staircase():
+    """A 45-degree staircase must get diagonal blending (output values
+    strictly between the two colors along the diagonal)."""
+    from granite_tpu.ops.smaa import smaa
+    H = W = 24
+    img = np.zeros((H, W, 3), np.float32)
+    for y in range(H):
+        img[y, : min(y + 4, W)] = 1.0      # white below-left of a 45 line
+    out = np.asarray(smaa(jnp.asarray(img)))
+    # Pixels adjacent to the diagonal are blended.
+    blended = ((out > 0.05) & (out < 0.95)).any(axis=-1)
+    diag_band = np.zeros((H, W), bool)
+    for y in range(2, H - 2):
+        x = y + 3
+        if 1 < x < W - 1:
+            diag_band[y, x - 1:x + 2] = True
+    assert blended[diag_band].mean() > 0.4, blended[diag_band].mean()
+
+
+def test_smaa_preserves_sharp_corner():
+    """A crisp 90-degree corner of a large rectangle blends less than an
+    edge midpoint (corner rounding keeps shapes sharp)."""
+    from granite_tpu.ops.smaa import blending_weights, edge_detection
+    H = W = 32
+    img = np.zeros((H, W, 3), np.float32)
+    img[8:24, 8:24] = 1.0
+    e_l, e_t = edge_detection(jnp.asarray(img))
+    a_h, a_v, a_h_above, a_v_left = blending_weights(e_l, e_t)
+    a_h = np.asarray(a_h)
+    # The top edge of a solid rectangle is a "U" shape (both crossings
+    # on the same side): zero blending INTO the rectangle row.
+    assert np.allclose(a_h[8, 9:23], 0.0, atol=1e-6)
+    a_h = np.asarray(a_h_above)
+    # The background row above rounds only slightly at the two corners:
+    # corner rounding caps the end blend at 25% of the unsuppressed
+    # L-shape weight (~0.47 -> ~0.12), and the straight middle stays 0.
+    row = a_h[8, 8:24]
+    assert row[0] <= 0.13 and row[-1] <= 0.13, row
+    assert np.allclose(row[7:9], 0.0, atol=1e-6), row
