@@ -66,6 +66,14 @@ class ViewerConfig:
     # decoded textures (set_asset_budget analogue).
     texture_streaming: bool = False
     texture_budget_mb: float = 0.0
+    # renderTargetFp16: HDR intermediates (lit color, TAA history, bloom
+    # chain) stored as f16 (the reference's RT format knob).
+    render_target_fp16: bool = False
+    rescale_scene: bool = False
+    resolution_scale_sharpen: bool = True
+    # forwardDepthPrepass is satisfied BY DESIGN: the visibility-buffer
+    # raster is a depth prepass (accepted, no-op).
+    forward_depth_prepass: bool = False
     pcf_kernel_wide: bool = False
     hdr_bloom: bool = True
     hdr_bloom_dynamic_exposure: bool = True
@@ -100,6 +108,10 @@ class ViewerConfig:
             "volumetricFog": "volumetric_fog",
             "textureStreaming": "texture_streaming",
             "textureBudgetMB": "texture_budget_mb",
+            "renderTargetFp16": "render_target_fp16",
+            "rescaleScene": "rescale_scene",
+            "resolutionScaleSharpen": "resolution_scale_sharpen",
+            "forwardDepthPrepass": "forward_depth_prepass",
             "PCFKernelWide": "pcf_kernel_wide",
             "hdrBloom": "hdr_bloom",
             "hdrBloomDynamicExposure": "hdr_bloom_dynamic_exposure",
@@ -259,6 +271,20 @@ class SceneViewerApplication(Application):
         if self.config.terrain:
             self._add_terrain(info)
         self.scene = self._build_runtime_scene(info)
+        if self.config.rescale_scene:
+            # rescale_scene(10.0f) (scene_viewer_application.cpp:491):
+            # scale roots so the scene AABB radius becomes 10.
+            self.scene.update_transform_tree()
+            if len(self.scene.r_world_min):
+                mn = self.scene.r_world_min.min(axis=0)
+                mx = self.scene.r_world_max.max(axis=0)
+                radius = max(0.5 * float(np.linalg.norm(mx - mn)), 1e-6)
+                factor = 10.0 / radius
+                for r in info.roots:
+                    self.scene.scale[r] = self.scene.scale[r] * factor
+                self.scene.update_transform_tree()
+                LOGI("rescaleScene: radius %.3f -> 10 (x%.3f)", radius,
+                     factor)
         budget = int(self.config.texture_budget_mb * 2**20) \
             if self.config.texture_budget_mb > 0 else None
         self.packed: PackedScene = pack_scene(
@@ -470,9 +496,16 @@ class SceneViewerApplication(Application):
         use_shadow = self.config.directional_light_shadows
         rs = self._render_scale
 
+        rt_dtype = jnp.float16 if self.config.render_target_fp16 \
+            else jnp.float32
+
         def rel(scale, channels, dtype=jnp.float32):
             return AttachmentInfo(SizeClass.SWAPCHAIN_RELATIVE, rs * scale,
                                   rs * scale, channels=channels, dtype=dtype)
+
+        def rel_rt(scale, channels):
+            """HDR color render target (renderTargetFp16 knob)."""
+            return rel(scale, channels, rt_dtype)
 
         # Temporal jitter for TAA/SMAA-T2X (post/temporal.cpp; post/aa.cpp
         # string-keyed AA selection).
@@ -570,7 +603,7 @@ class SceneViewerApplication(Application):
                 .add_attachment_input("depth-main") \
                 .add_external_input("world") \
                 .add_external_input("normal_mats") \
-                .add_color_output("hdr", rel(1, 3))
+                .add_color_output("hdr", rel_rt(1, 3))
             if self.config.ssao:
                 light.add_texture_input("ssao-output")
             if self.config.volumetric_fog:
@@ -590,13 +623,13 @@ class SceneViewerApplication(Application):
                     .add_texture_input("g-normal") \
                     .add_texture_input("g-base") \
                     .add_texture_input("g-pbr") \
-                    .add_color_output("hdr-ssr", rel(1, 3)) \
+                    .add_color_output("hdr-ssr", rel_rt(1, 3)) \
                     .set_execute(self._ssr_pass)
         else:
             forward = g.add_pass("forward", Queue.GRAPHICS) \
                 .add_external_input("world") \
                 .add_external_input("normal_mats") \
-                .add_color_output("hdr", rel(1, 3)) \
+                .add_color_output("hdr", rel_rt(1, 3)) \
                 .add_depth_stencil_output("depth-main", rel(1, 1))
             if self._use_taa:
                 forward.add_external_input("prev_world")
@@ -623,14 +656,14 @@ class SceneViewerApplication(Application):
                 .add_texture_input("depth-main") \
                 .add_texture_input("mv") \
                 .add_history_input("taa-history") \
-                .add_color_output("hdr-resolved", rel(1, 3)) \
-                .add_color_output("taa-history", rel(1, 3)) \
+                .add_color_output("hdr-resolved", rel_rt(1, 3)) \
+                .add_color_output("taa-history", rel_rt(1, 3)) \
                 .set_execute(self._taa_pass)
             hdr_name = "hdr-resolved"
         self._hdr_name = hdr_name
 
         if self.config.hdr_bloom:
-            self._add_hdr_chain(g, rel, hdr_name)
+            self._add_hdr_chain(g, rel, hdr_name, rel_rt)
 
         self._ldr_aa = self._use_fxaa or self._use_smaa
         ldr_target = "ldr" if self._ldr_aa else "backbuffer"
@@ -665,17 +698,19 @@ class SceneViewerApplication(Application):
         g.log()
         self._history = g.initial_history()
 
-    def _add_hdr_chain(self, g, rel, hdr_name: str = "hdr") -> str:
+    def _add_hdr_chain(self, g, rel, hdr_name: str = "hdr",
+                       rel_rt=None) -> str:
         """setup_hdr_postprocess (renderer/post/hdr.cpp:308): threshold at
         1/2 res -> 4 downsamples (first with temporal feedback) -> 2
         upsamples; async average-luminance reduction with temporal lerp.
         The luminance pass is its own ASYNC_COMPUTE-tagged node — XLA
         overlaps it with the bloom pyramid exactly like the reference's
         async-compute queue."""
+        rel_rt = rel_rt or rel
         g.add_pass("bloom-threshold", Queue.GRAPHICS) \
             .add_texture_input(hdr_name) \
             .add_history_input("luminance") \
-            .add_color_output("bloom-thresh", rel(0.5, 4)) \
+            .add_color_output("bloom-thresh", rel_rt(0.5, 4)) \
             .set_execute(self._bloom_threshold_pass)
         g.add_pass("luminance", Queue.ASYNC_COMPUTE) \
             .add_texture_input("bloom-thresh") \
@@ -687,7 +722,7 @@ class SceneViewerApplication(Application):
         for i, s in enumerate(sizes):
             p = g.add_pass(f"bloom-down{i}", Queue.COMPUTE) \
                 .add_texture_input(prev) \
-                .add_color_output(f"bloom-d{i}", rel(s, 4))
+                .add_color_output(f"bloom-d{i}", rel_rt(s, 4))
             if i == 0:
                 p.add_history_input("bloom-d0")   # FEEDBACK variant
             p.set_execute(self._make_bloom_down(i, prev))
@@ -697,7 +732,7 @@ class SceneViewerApplication(Application):
             name = "bloom-final" if j == 1 else f"bloom-u{j}"
             g.add_pass(f"bloom-up{j}", Queue.COMPUTE) \
                 .add_texture_input(src) \
-                .add_color_output(name, rel(s, 4)) \
+                .add_color_output(name, rel_rt(s, 4)) \
                 .set_execute(self._make_bloom_up(src, name))
             prev = name
         return prev
@@ -998,6 +1033,10 @@ class SceneViewerApplication(Application):
         ldr = HDR.tonemap(hdr, bloom, avg_log)
         if ldr.shape[:2] != (h, w):
             ldr = HDR.resize_bilinear(ldr, h, w)
+            if self.config.resolution_scale_sharpen:
+                # post-upscale sharpen (setup_after_post_chain_upscaling
+                # with sharpening, scene_viewer_application.cpp:1264).
+                ldr = HDR.sharpen(ldr)
         if self.config.show_ui:
             # UI overlay composite (FlatRenderer; ui/ module) — the 2D
             # pass of the reference graph (BASELINE config 3).

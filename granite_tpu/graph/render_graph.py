@@ -386,6 +386,14 @@ class RenderGraph:
                     raise RenderGraphError(
                         f"pass '{pname}' returned {sorted(outs)}, declared "
                         f"{sorted(expected)}")
+                # Enforce declared attachment dtypes at the pass boundary
+                # (render-target format semantics; renderTargetFp16 knob).
+                for name, val in list(outs.items()):
+                    info = resources[name].info
+                    want = getattr(info, "dtype", None)
+                    if want is not None and hasattr(val, "astype") and \
+                            val.dtype != want:
+                        outs[name] = val.astype(want)
                 pool.update(outs)
             new_history = {n: pool[n] for n in graph._history_resources}
             return pool[backbuffer], new_history

@@ -223,3 +223,21 @@ def tonemap(hdr, bloom, avg_log_lum=None, dynamic_exposure_scale=1.0):
     else:
         exposure = dynamic_exposure_scale
     return tonemap_filmic(hdr * exposure)
+
+
+def sharpen(img, amount: float = 0.25):
+    """Post-upscale sharpen (the reference's upscaling sharpen path,
+    scene_viewer_application.cpp:1264): unsharp mask over the 4-neighbor
+    laplacian, shift-based (zero gathers)."""
+    lap = 4.0 * img
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        lap = lap - _shift_edge(img, dy, dx)
+    return jnp.clip(img + amount * lap, 0.0, 1.0)
+
+
+def _shift_edge(img, dy: int, dx: int):
+    h, w = img.shape[:2]
+    py0, py1 = max(dy, 0), max(-dy, 0)
+    px0, px1 = max(dx, 0), max(-dx, 0)
+    pad = ((py1, py0), (px1, px0)) + ((0, 0),) * (img.ndim - 2)
+    return jnp.pad(img, pad, mode="edge")[py0:py0 + h, px0:px0 + w]
