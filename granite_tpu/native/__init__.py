@@ -48,9 +48,13 @@ def get_lib() -> ctypes.CDLL:
     u32p = ctypes.POINTER(ctypes.c_uint32)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     for name in ("decode_bc1", "decode_bc3", "decode_bc4", "decode_bc5",
-                 "encode_bc1"):
+                 "decode_bc7", "encode_bc1"):
         fn = getattr(lib, name)
         fn.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int]
+        fn.restype = None
+    for name in ("decode_etc2", "decode_eac"):
+        fn = getattr(lib, name)
+        fn.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         fn.restype = None
     lib.meshlet_encode.argtypes = [f32p, ctypes.c_int, i32p, ctypes.c_int,
                                    u8p, ctypes.c_int,
@@ -77,11 +81,22 @@ def _u8(a):
 
 def decode_blocks(fmt: str, data: np.ndarray, width: int,
                   height: int) -> np.ndarray:
-    """Decode a BCn-compressed level to (H, W, 4) uint8."""
+    """Decode a block-compressed level to (H, W, 4) uint8.
+
+    Formats: bc1/bc3/bc4/bc5/bc7, etc2 (RGB8), etc2a (RGB8A8),
+    etc2p (punchthrough RGB8A1), eac_r11, eac_rg11
+    (texture_decoder.cpp:30-120 format coverage)."""
     lib = get_lib()
     data = np.ascontiguousarray(data, np.uint8)
     out = np.empty((height, width, 4), np.uint8)
-    getattr(lib, f"decode_{fmt}")(_u8(data), _u8(out), width, height)
+    if fmt in ("etc2", "etc2a", "etc2p"):
+        alpha_bits = {"etc2": 0, "etc2a": 8, "etc2p": 1}[fmt]
+        lib.decode_etc2(_u8(data), _u8(out), width, height, alpha_bits)
+    elif fmt in ("eac_r11", "eac_rg11"):
+        lib.decode_eac(_u8(data), _u8(out), width, height,
+                       1 if fmt == "eac_r11" else 2)
+    else:
+        getattr(lib, f"decode_{fmt}")(_u8(data), _u8(out), width, height)
     return out
 
 
@@ -144,7 +159,9 @@ def radix_sort_u64(keys: np.ndarray) -> np.ndarray:
     return order
 
 
-GTPX_FORMATS = {"rgba8": 0, "bc1": 1, "bc3": 3, "bc4": 4, "bc5": 5}
+GTPX_FORMATS = {"rgba8": 0, "bc1": 1, "bc3": 3, "bc4": 4,
+                "bc5": 5, "bc7": 7, "etc2": 8, "etc2a": 9,
+                "etc2p": 10, "eac_r11": 11, "eac_rg11": 12}
 
 
 def gtpx_save(path: str, payload: bytes, fmt: str, width: int, height: int,

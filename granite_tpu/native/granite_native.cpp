@@ -399,3 +399,532 @@ int gtpx_read_header(const uint8_t *data, int size, uint32_t *format,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// ETC2 / EAC / BC7 decoders (reference behavior:
+// assets/shaders/decode/{etc2,eac,bc7}.comp; constant tables are Khronos /
+// D3D spec facts).  Block-oriented scalar C, 4x4 RGBA8 out per block.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+static const int etc1_mod_table[8][2] = {
+    {2, 8}, {5, 17}, {9, 29}, {13, 42},
+    {18, 60}, {24, 80}, {33, 106}, {47, 183}};
+
+static const int etc2_alpha_mod[16][4] = {
+    {2, 5, 8, 14}, {2, 6, 9, 12}, {1, 4, 7, 12}, {1, 3, 5, 12},
+    {2, 5, 7, 11}, {2, 6, 8, 10}, {3, 6, 7, 10}, {2, 4, 7, 10},
+    {1, 5, 7, 9}, {1, 4, 7, 9}, {1, 3, 7, 9}, {1, 4, 6, 9},
+    {2, 3, 6, 9}, {0, 1, 2, 9}, {3, 5, 7, 8}, {2, 4, 6, 8}};
+
+static const int etc2_dist[8] = {3, 6, 11, 16, 23, 32, 41, 64};
+
+static inline uint64_t load_be64(const uint8_t *p) {
+    uint64_t v = 0;
+    for (int i = 0; i < 8; i++) v = (v << 8) | p[i];
+    return v;
+}
+
+static inline int clamp255(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
+
+static inline int ext(uint64_t v, int bit, int count) {
+    return (int)((v >> bit) & ((1ull << count) - 1));
+}
+
+static inline int sext3(int v) { return (v & 4) ? v - 8 : v; }
+
+// Decode one ETC2 color block (8 bytes, big-endian) into rgb[16][3].
+// punch_mask: when alpha_bits==1, bit set -> pixel is transparent.
+static void decode_etc2_color_block(uint64_t blk, int alpha_bits,
+                                    uint8_t rgb[16][3],
+                                    uint16_t *punch_mask) {
+    *punch_mask = 0;
+    const int diff_bit = ext(blk, 33, 1);
+    const int flip = ext(blk, 32, 1);
+    const int punchthrough_block = (alpha_bits == 1) && !diff_bit;
+    // linear_pixel = 4*x + y (ETC column-major pixel order)
+    if (alpha_bits != 1 && !diff_bit) {
+        // Individual (ETC1) mode: two 4-bit bases.
+        int base[2][3];
+        base[0][0] = ext(blk, 60, 4) * 0x11;
+        base[1][0] = ext(blk, 56, 4) * 0x11;
+        base[0][1] = ext(blk, 52, 4) * 0x11;
+        base[1][1] = ext(blk, 48, 4) * 0x11;
+        base[0][2] = ext(blk, 44, 4) * 0x11;
+        base[1][2] = ext(blk, 40, 4) * 0x11;
+        int table[2] = {ext(blk, 37, 3), ext(blk, 34, 3)};
+        for (int px = 0; px < 16; px++) {
+            int x = px >> 2, y = px & 3;
+            int sb = flip ? (y >> 1) : (x >> 1);
+            int msb = ext(blk, 16 + px, 1);
+            int lsb = ext(blk, px, 1);
+            int mag = etc1_mod_table[table[sb]][lsb];
+            int mod = msb ? -mag : mag;
+            for (int c = 0; c < 3; c++)
+                rgb[px][c] = (uint8_t)clamp255(base[sb][c] + mod);
+        }
+        return;
+    }
+    int r = ext(blk, 59, 5), rd = sext3(ext(blk, 56, 3));
+    int g = ext(blk, 51, 5), gd = sext3(ext(blk, 48, 3));
+    int b = ext(blk, 43, 5), bd = sext3(ext(blk, 40, 3));
+    int r1 = r + rd, g1 = g + gd, b1 = b + bd;
+    if (r1 < 0 || r1 > 31) {
+        // T mode
+        int tr1 = (ext(blk, 59, 2) << 2) | ext(blk, 56, 2);
+        int tg1 = ext(blk, 52, 4);
+        int tb1 = ext(blk, 48, 4);
+        int tr2 = ext(blk, 44, 4);
+        int tg2 = ext(blk, 40, 4);
+        int tb2 = ext(blk, 36, 4);
+        int da = (ext(blk, 34, 2) << 1) | ext(blk, 32, 1);
+        int dist = etc2_dist[da];
+        int c1[3] = {tr1 * 0x11, tg1 * 0x11, tb1 * 0x11};
+        int c2[3] = {tr2 * 0x11, tg2 * 0x11, tb2 * 0x11};
+        for (int px = 0; px < 16; px++) {
+            int msb = ext(blk, 16 + px, 1);
+            int lsb = ext(blk, px, 1);
+            int idx = (msb << 1) | lsb;
+            int out[3];
+            if (idx == 0) {
+                out[0] = c1[0]; out[1] = c1[1]; out[2] = c1[2];
+            } else {
+                int mod = 2 - idx;     // 1, 0, -1 for idx 1, 2, 3
+                for (int c = 0; c < 3; c++)
+                    out[c] = c2[c] + mod * dist;
+            }
+            if (punchthrough_block && idx == 2) *punch_mask |= 1u << px;
+            for (int c = 0; c < 3; c++)
+                rgb[px][c] = (uint8_t)clamp255(out[c]);
+        }
+        return;
+    }
+    if (g1 < 0 || g1 > 31) {
+        // H mode
+        int hr1 = ext(blk, 59, 4);
+        int hg1 = (ext(blk, 56, 3) << 1) | ext(blk, 52, 1);
+        int hb1 = ext(blk, 51, 1) << 3 | ext(blk, 47, 3);
+        int hr2 = ext(blk, 43, 4);
+        int hg2 = ext(blk, 39, 4);
+        int hb2 = ext(blk, 35, 4);
+        int d = (ext(blk, 34, 1) << 2) | (ext(blk, 32, 1) << 1);
+        int v1 = (hr1 << 16) | (hg1 << 8) | hb1;
+        int v2 = (hr2 << 16) | (hg2 << 8) | hb2;
+        d += (v1 >= v2);
+        int dist = etc2_dist[d];
+        int c1[3] = {hr1 * 0x11, hg1 * 0x11, hb1 * 0x11};
+        int c2[3] = {hr2 * 0x11, hg2 * 0x11, hb2 * 0x11};
+        for (int px = 0; px < 16; px++) {
+            int msb = ext(blk, 16 + px, 1);
+            int lsb = ext(blk, px, 1);
+            const int *base = msb ? c2 : c1;
+            int mod = 1 - 2 * lsb;
+            if (punchthrough_block && msb && lsb)
+                *punch_mask |= 1u << px;
+            for (int c = 0; c < 3; c++)
+                rgb[px][c] = (uint8_t)clamp255(base[c] + mod * dist);
+        }
+        return;
+    }
+    if (b1 < 0 || b1 > 31) {
+        // Planar mode
+        int ro = ext(blk, 57, 6);
+        int go = (ext(blk, 56, 1) << 6) | ext(blk, 49, 6);
+        int bo = (ext(blk, 48, 1) << 5) | (ext(blk, 43, 2) << 3)
+                 | ext(blk, 39, 3);
+        int rh = (ext(blk, 34, 5) << 1) | ext(blk, 32, 1);
+        int gh = ext(blk, 25, 7);
+        int bh = ext(blk, 19, 6);
+        int rv = ext(blk, 13, 6);
+        int gv = ext(blk, 6, 7);
+        int bv = ext(blk, 0, 6);
+        ro = (ro << 2) | (ro >> 4); rh = (rh << 2) | (rh >> 4);
+        rv = (rv << 2) | (rv >> 4);
+        go = (go << 1) | (go >> 6); gh = (gh << 1) | (gh >> 6);
+        gv = (gv << 1) | (gv >> 6);
+        bo = (bo << 2) | (bo >> 4); bh = (bh << 2) | (bh >> 4);
+        bv = (bv << 2) | (bv >> 4);
+        for (int px = 0; px < 16; px++) {
+            int x = px >> 2, y = px & 3;
+            int o[3] = {ro, go, bo}, hh[3] = {rh, gh, bh},
+                vv[3] = {rv, gv, bv};
+            for (int c = 0; c < 3; c++) {
+                int val = o[c] + (((hh[c] - o[c]) * x
+                                   + (vv[c] - o[c]) * y + 2) >> 2);
+                rgb[px][c] = (uint8_t)clamp255(val);
+            }
+        }
+        return;
+    }
+    // Differential (ETC1) mode.
+    int base[2][3] = {{r * 0x11 >> 0, 0, 0}, {0, 0, 0}};
+    base[0][0] = (r << 3) | (r >> 2);
+    base[0][1] = (g << 3) | (g >> 2);
+    base[0][2] = (b << 3) | (b >> 2);
+    base[1][0] = (r1 << 3) | (r1 >> 2);
+    base[1][1] = (g1 << 3) | (g1 >> 2);
+    base[1][2] = (b1 << 3) | (b1 >> 2);
+    int table[2] = {ext(blk, 37, 3), ext(blk, 34, 3)};
+    for (int px = 0; px < 16; px++) {
+        int x = px >> 2, y = px & 3;
+        int sb = flip ? (y >> 1) : (x >> 1);
+        int msb = ext(blk, 16 + px, 1);
+        int lsb = ext(blk, px, 1);
+        int mag = etc1_mod_table[table[sb]][lsb];
+        int mod = msb ? -mag : mag;
+        if (punchthrough_block && msb && lsb) *punch_mask |= 1u << px;
+        if (punchthrough_block && msb && !lsb) mod = 0;
+        if (punchthrough_block && !msb && !lsb) mod = 0;
+        if (punchthrough_block && !msb && lsb) mod = mag;
+        for (int c = 0; c < 3; c++)
+            rgb[px][c] = (uint8_t)clamp255(base[sb][c] + mod);
+    }
+}
+
+static inline int decode_eac_alpha_px(uint64_t blk, int px) {
+    int base = ext(blk, 56, 8);
+    int mult = ext(blk, 52, 4);
+    int table = ext(blk, 48, 4);
+    int sel = ext(blk, 45 - 3 * px, 3);
+    int lsb2 = sel & 3;
+    int msb = sel >> 2;
+    int mod = etc2_alpha_mod[table][lsb2] ^ (msb - 1);  // negate-1 trick
+    return clamp255(base + mod * mult);
+}
+
+void decode_etc2(const uint8_t *src, uint8_t *dst, int width, int height,
+                 int alpha_bits) {
+    int bw = (width + 3) / 4, bh = (height + 3) / 4;
+    size_t bsize = (alpha_bits == 8) ? 16 : 8;
+    for (int by = 0; by < bh; by++) {
+        for (int bx = 0; bx < bw; bx++) {
+            const uint8_t *b = src + (by * bw + bx) * bsize;
+            uint64_t ablk = 0, cblk;
+            if (alpha_bits == 8) {
+                ablk = load_be64(b);
+                cblk = load_be64(b + 8);
+            } else {
+                cblk = load_be64(b);
+            }
+            uint8_t rgb[16][3];
+            uint16_t punch = 0;
+            decode_etc2_color_block(cblk, alpha_bits, rgb, &punch);
+            for (int px = 0; px < 16; px++) {
+                int x = bx * 4 + (px >> 2);
+                int y = by * 4 + (px & 3);
+                if (x >= width || y >= height) continue;
+                uint8_t *o = dst + (y * width + x) * 4;
+                int transparent = (punch >> px) & 1;
+                o[0] = transparent ? 0 : rgb[px][0];
+                o[1] = transparent ? 0 : rgb[px][1];
+                o[2] = transparent ? 0 : rgb[px][2];
+                if (alpha_bits == 8)
+                    o[3] = (uint8_t)decode_eac_alpha_px(ablk, px);
+                else if (alpha_bits == 1)
+                    o[3] = transparent ? 0 : 255;
+                else
+                    o[3] = 255;
+            }
+        }
+    }
+}
+
+// EAC R11/RG11 -> 8-bit (11-bit codes >> 3), alpha=255.
+void decode_eac(const uint8_t *src, uint8_t *dst, int width, int height,
+                int channels) {
+    int bw = (width + 3) / 4, bh = (height + 3) / 4;
+    size_t bsize = channels * 8;
+    for (int by = 0; by < bh; by++) {
+        for (int bx = 0; bx < bw; bx++) {
+            const uint8_t *b = src + (by * bw + bx) * bsize;
+            for (int px = 0; px < 16; px++) {
+                int x = bx * 4 + (px >> 2);
+                int y = by * 4 + (px & 3);
+                if (x >= width || y >= height) continue;
+                uint8_t *o = dst + (y * width + x) * 4;
+                for (int c = 0; c < 4; c++) o[c] = (c == 3) ? 255 : 0;
+                for (int c = 0; c < channels; c++) {
+                    uint64_t blk = load_be64(b + c * 8);
+                    int base = ext(blk, 56, 8) * 8 + 4;
+                    int mult = ext(blk, 52, 4) * 8;
+                    if (mult == 0) mult = 1;
+                    int table = ext(blk, 48, 4);
+                    int sel = ext(blk, 45 - 3 * px, 3);
+                    int mod = etc2_alpha_mod[table][sel & 3]
+                              ^ ((sel >> 2) - 1);
+                    int v11 = base + mod * mult;
+                    if (v11 < 0) v11 = 0;
+                    if (v11 > 2047) v11 = 2047;
+                    o[c] = (uint8_t)(v11 >> 3);
+                }
+            }
+        }
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BC7 decoder (D3D11 spec; partition/anchor/weight tables are spec
+// constants, cf. assets/shaders/decode/bc7.comp).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+static const uint8_t bc7_w2[4] = {0, 21, 43, 64};
+static const uint8_t bc7_w3[8] = {0, 9, 18, 27, 37, 46, 55, 64};
+static const uint8_t bc7_w4[16] = {0, 4, 9, 13, 17, 21, 26, 30,
+                                   34, 38, 43, 47, 51, 55, 60, 64};
+
+static const uint8_t bc7_part2[64][16] = {
+#define R2(a,b,c,d,e,f,g,h,i,j,k,l,m,n,o,p) {a,b,c,d,e,f,g,h,i,j,k,l,m,n,o,p},
+R2(0,0,1,1,0,0,1,1,0,0,1,1,0,0,1,1) R2(0,0,0,1,0,0,0,1,0,0,0,1,0,0,0,1)
+R2(0,1,1,1,0,1,1,1,0,1,1,1,0,1,1,1) R2(0,0,0,1,0,0,1,1,0,0,1,1,0,1,1,1)
+R2(0,0,0,0,0,0,0,1,0,0,0,1,0,0,1,1) R2(0,0,1,1,0,1,1,1,0,1,1,1,1,1,1,1)
+R2(0,0,0,1,0,0,1,1,0,1,1,1,1,1,1,1) R2(0,0,0,0,0,0,0,1,0,0,1,1,0,1,1,1)
+R2(0,0,0,0,0,0,0,0,0,0,0,1,0,0,1,1) R2(0,0,1,1,0,1,1,1,1,1,1,1,1,1,1,1)
+R2(0,0,0,0,0,0,0,1,0,1,1,1,1,1,1,1) R2(0,0,0,0,0,0,0,0,0,0,0,1,0,1,1,1)
+R2(0,0,0,1,0,1,1,1,1,1,1,1,1,1,1,1) R2(0,0,0,0,0,0,0,0,1,1,1,1,1,1,1,1)
+R2(0,0,0,0,1,1,1,1,1,1,1,1,1,1,1,1) R2(0,0,0,0,0,0,0,0,0,0,0,0,1,1,1,1)
+R2(0,0,0,0,1,0,0,0,1,1,1,0,1,1,1,1) R2(0,1,1,1,0,0,0,1,0,0,0,0,0,0,0,0)
+R2(0,0,0,0,0,0,0,0,1,0,0,0,1,1,1,0) R2(0,1,1,1,0,0,1,1,0,0,0,1,0,0,0,0)
+R2(0,0,1,1,0,0,0,1,0,0,0,0,0,0,0,0) R2(0,0,0,0,1,0,0,0,1,1,0,0,1,1,1,0)
+R2(0,0,0,0,0,0,0,0,1,0,0,0,1,1,0,0) R2(0,1,1,1,0,0,1,1,0,0,1,1,0,0,0,1)
+R2(0,0,1,1,0,0,0,1,0,0,0,1,0,0,0,0) R2(0,0,0,0,1,0,0,0,1,0,0,0,1,1,0,0)
+R2(0,1,1,0,0,1,1,0,0,1,1,0,0,1,1,0) R2(0,0,1,1,0,1,1,0,0,1,1,0,1,1,0,0)
+R2(0,0,0,1,0,1,1,1,1,1,1,0,1,0,0,0) R2(0,0,0,0,1,1,1,1,1,1,1,1,0,0,0,0)
+R2(0,1,1,1,0,0,0,1,1,0,0,0,1,1,1,0) R2(0,0,1,1,1,0,0,1,1,0,0,1,1,1,0,0)
+R2(0,1,0,1,0,1,0,1,0,1,0,1,0,1,0,1) R2(0,0,0,0,1,1,1,1,0,0,0,0,1,1,1,1)
+R2(0,1,0,1,1,0,1,0,0,1,0,1,1,0,1,0) R2(0,0,1,1,0,0,1,1,1,1,0,0,1,1,0,0)
+R2(0,0,1,1,1,1,0,0,0,0,1,1,1,1,0,0) R2(0,1,0,1,0,1,0,1,1,0,1,0,1,0,1,0)
+R2(0,1,1,0,1,0,0,1,0,1,1,0,1,0,0,1) R2(0,1,0,1,1,0,1,0,1,0,1,0,0,1,0,1)
+R2(0,1,1,1,0,0,1,1,1,1,0,0,1,1,1,0) R2(0,0,0,1,0,0,1,1,1,1,0,0,1,0,0,0)
+R2(0,0,1,1,0,0,1,0,0,1,0,0,1,1,0,0) R2(0,0,1,1,1,0,1,1,1,1,0,1,1,1,0,0)
+R2(0,1,1,0,1,0,0,1,1,0,0,1,0,1,1,0) R2(0,0,1,1,1,1,0,0,1,1,0,0,0,0,1,1)
+R2(0,1,1,0,0,1,1,0,1,0,0,1,1,0,0,1) R2(0,0,0,0,0,1,1,0,0,1,1,0,0,0,0,0)
+R2(0,1,0,0,1,1,1,0,0,1,0,0,0,0,0,0) R2(0,0,1,0,0,1,1,1,0,0,1,0,0,0,0,0)
+R2(0,0,0,0,0,0,1,0,0,1,1,1,0,0,1,0) R2(0,0,0,0,0,1,0,0,1,1,1,0,0,1,0,0)
+R2(0,1,1,0,1,1,0,0,1,0,0,1,0,0,1,1) R2(0,0,1,1,0,1,1,0,1,1,0,0,1,0,0,1)
+R2(0,1,1,0,0,0,1,1,1,0,0,1,1,1,0,0) R2(0,0,1,1,1,0,0,1,1,1,0,0,0,1,1,0)
+R2(0,1,1,0,1,1,0,0,1,1,0,0,1,0,0,1) R2(0,1,1,0,0,0,1,1,0,0,1,1,1,0,0,1)
+R2(0,1,1,1,1,1,1,0,1,0,0,0,0,0,0,1) R2(0,0,0,1,1,0,0,0,1,1,1,0,0,1,1,1)
+R2(0,0,0,0,1,1,1,1,0,0,1,1,0,0,1,1) R2(0,0,1,1,0,0,1,1,1,1,1,1,0,0,0,0)
+R2(0,0,1,0,0,0,1,0,1,1,1,0,1,1,1,0) R2(0,1,0,0,0,1,0,0,0,1,1,1,0,1,1,1)
+#undef R2
+};
+
+static const uint8_t bc7_part3[64][16] = {
+#define R3(a,b,c,d,e,f,g,h,i,j,k,l,m,n,o,p) {a,b,c,d,e,f,g,h,i,j,k,l,m,n,o,p},
+R3(0,0,1,1,0,0,1,1,0,2,2,1,2,2,2,2) R3(0,0,0,1,0,0,1,1,2,2,1,1,2,2,2,1)
+R3(0,0,0,0,2,0,0,1,2,2,1,1,2,2,1,1) R3(0,2,2,2,0,0,2,2,0,0,1,1,0,1,1,1)
+R3(0,0,0,0,0,0,0,0,1,1,2,2,1,1,2,2) R3(0,0,1,1,0,0,1,1,0,0,2,2,0,0,2,2)
+R3(0,0,2,2,0,0,2,2,1,1,1,1,1,1,1,1) R3(0,0,1,1,0,0,1,1,2,2,1,1,2,2,1,1)
+R3(0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2) R3(0,0,0,0,1,1,1,1,1,1,1,1,2,2,2,2)
+R3(0,0,0,0,1,1,1,1,2,2,2,2,2,2,2,2) R3(0,0,1,2,0,0,1,2,0,0,1,2,0,0,1,2)
+R3(0,1,1,2,0,1,1,2,0,1,1,2,0,1,1,2) R3(0,1,2,2,0,1,2,2,0,1,2,2,0,1,2,2)
+R3(0,0,1,1,0,1,1,2,1,1,2,2,1,2,2,2) R3(0,0,1,1,2,0,0,1,2,2,0,0,2,2,2,0)
+R3(0,0,0,1,0,0,1,1,0,1,1,2,1,1,2,2) R3(0,1,1,1,0,0,1,1,2,0,0,1,2,2,0,0)
+R3(0,0,0,0,1,1,2,2,1,1,2,2,1,1,2,2) R3(0,0,2,2,0,0,2,2,0,0,2,2,1,1,1,1)
+R3(0,1,1,1,0,1,1,1,0,2,2,2,0,2,2,2) R3(0,0,0,1,0,0,0,1,2,2,2,1,2,2,2,1)
+R3(0,0,0,0,0,0,1,1,0,1,2,2,0,1,2,2) R3(0,0,0,0,1,1,0,0,2,2,1,0,2,2,1,0)
+R3(0,1,2,2,0,1,2,2,0,0,1,1,0,0,0,0) R3(0,0,1,2,0,0,1,2,1,1,2,2,2,2,2,2)
+R3(0,1,1,0,1,2,2,1,1,2,2,1,0,1,1,0) R3(0,0,0,0,0,1,1,0,1,2,2,1,1,2,2,1)
+R3(0,0,2,2,1,1,0,2,1,1,0,2,0,0,2,2) R3(0,1,1,0,0,1,1,0,2,0,0,2,2,2,2,2)
+R3(0,0,1,1,0,1,2,2,0,1,2,2,0,0,1,1) R3(0,0,0,0,2,0,0,0,2,2,1,1,2,2,2,1)
+R3(0,0,0,0,0,0,0,2,1,1,2,2,1,2,2,2) R3(0,2,2,2,0,0,2,2,0,0,1,2,0,0,1,1)
+R3(0,0,1,1,0,0,1,2,0,0,2,2,0,2,2,2) R3(0,1,2,0,0,1,2,0,0,1,2,0,0,1,2,0)
+R3(0,0,0,0,1,1,1,1,2,2,2,2,0,0,0,0) R3(0,1,2,0,1,2,0,1,2,0,1,2,0,1,2,0)
+R3(0,1,2,0,2,0,1,2,1,2,0,1,0,1,2,0) R3(0,0,1,1,2,2,0,0,1,1,2,2,0,0,1,1)
+R3(0,0,1,1,1,1,2,2,2,2,0,0,0,0,1,1) R3(0,1,0,1,0,1,0,1,2,2,2,2,2,2,2,2)
+R3(0,0,0,0,0,0,0,0,2,1,2,1,2,1,2,1) R3(0,0,2,2,1,1,2,2,0,0,2,2,1,1,2,2)
+R3(0,0,2,2,0,0,1,1,0,0,2,2,0,0,1,1) R3(0,2,2,0,1,2,2,1,0,2,2,0,1,2,2,1)
+R3(0,1,0,1,2,2,2,2,2,2,2,2,0,1,0,1) R3(0,0,0,0,2,1,2,1,2,1,2,1,2,1,2,1)
+R3(0,1,0,1,0,1,0,1,0,1,0,1,2,2,2,2) R3(0,2,2,2,0,1,1,1,0,2,2,2,0,1,1,1)
+R3(0,0,0,2,1,1,1,2,0,0,0,2,1,1,1,2) R3(0,0,0,0,2,1,1,2,2,1,1,2,2,1,1,2)
+R3(0,2,2,2,0,1,1,1,0,1,1,1,0,2,2,2) R3(0,0,0,2,1,1,1,2,1,1,1,2,0,0,0,2)
+R3(0,1,1,0,0,1,1,0,0,1,1,0,2,2,2,2) R3(0,0,0,0,0,0,0,0,2,1,1,2,2,1,1,2)
+R3(0,1,1,0,0,1,1,0,2,2,2,2,2,2,2,2) R3(0,0,2,2,0,0,1,1,0,0,1,1,0,0,2,2)
+R3(0,0,2,2,1,1,2,2,1,1,2,2,0,0,2,2) R3(0,0,0,0,0,0,0,0,0,0,0,0,2,1,1,2)
+R3(0,0,0,2,0,0,0,1,0,0,0,2,0,0,0,1) R3(0,2,2,2,1,2,2,2,0,2,2,2,1,2,2,2)
+R3(0,1,0,1,2,2,2,2,2,2,2,2,2,2,2,2) R3(0,1,1,1,2,0,1,1,2,2,0,1,2,2,2,0)
+#undef R3
+};
+
+static const uint8_t bc7_anchor2[64] = {
+    15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,15,
+    15,2,8,2,2,8,8,15,2,8,2,2,8,8,2,2,
+    15,15,6,8,2,8,15,15,2,8,2,2,2,15,15,6,
+    6,2,6,8,15,15,2,2,15,15,15,15,15,2,2,15};
+
+static const uint8_t bc7_anchor3a[64] = {
+    3,3,15,15,8,3,15,15,8,8,6,6,6,5,3,3,
+    3,3,8,15,3,3,6,10,5,8,8,6,8,5,15,15,
+    8,15,3,5,6,10,8,15,15,3,15,5,15,15,15,15,
+    3,15,5,5,5,8,5,10,5,10,8,13,15,12,3,3};
+
+static const uint8_t bc7_anchor3b[64] = {
+    15,8,8,3,15,15,3,8,15,15,15,15,15,15,15,8,
+    15,8,15,3,15,8,15,8,3,15,6,10,15,15,10,8,
+    15,3,15,10,10,8,9,10,6,15,8,15,3,6,6,8,
+    15,3,15,15,15,15,15,15,15,15,15,15,3,15,15,8};
+
+struct Bc7BitReader {
+    const uint8_t *p;
+    int bit;
+};
+
+static inline uint32_t bc7_read(Bc7BitReader *r, int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) {
+        v |= (uint32_t)((r->p[r->bit >> 3] >> (r->bit & 7)) & 1) << i;
+        r->bit++;
+    }
+    return v;
+}
+
+// Per-mode metadata: subsets, partition bits, rotation bits, index-
+// selection bit, color bits, alpha bits, endpoint p-bits, shared p-bits,
+// index bits, secondary index bits (D3D11.3 spec 19.5.14).
+struct Bc7Mode {
+    int ns, pb, rb, isb, cb, ab, epb, spb, ib, ib2;
+};
+static const Bc7Mode bc7_modes[8] = {
+    {3, 4, 0, 0, 4, 0, 1, 0, 3, 0},   // mode 0
+    {2, 6, 0, 0, 6, 0, 0, 1, 3, 0},   // mode 1
+    {3, 6, 0, 0, 5, 0, 0, 0, 2, 0},   // mode 2
+    {2, 6, 0, 0, 7, 0, 1, 0, 2, 0},   // mode 3
+    {1, 0, 2, 1, 5, 6, 0, 0, 2, 3},   // mode 4
+    {1, 0, 2, 0, 7, 8, 0, 0, 2, 2},   // mode 5
+    {1, 0, 0, 0, 7, 7, 1, 0, 4, 0},   // mode 6
+    {2, 6, 0, 0, 5, 5, 1, 0, 2, 0},   // mode 7
+};
+
+static inline int bc7_expand(int v, int bits) {
+    v <<= (8 - bits);
+    return v | (v >> bits);
+}
+
+static void decode_bc7_block(const uint8_t *b, uint8_t out[16][4]) {
+    Bc7BitReader r = {b, 0};
+    int mode = 0;
+    while (mode < 8 && bc7_read(&r, 1) == 0) mode++;
+    if (mode == 8) {
+        for (int i = 0; i < 16; i++) {
+            out[i][0] = out[i][1] = out[i][2] = 0;
+            out[i][3] = 0;
+        }
+        return;
+    }
+    const Bc7Mode m = bc7_modes[mode];
+    int partition = m.pb ? (int)bc7_read(&r, m.pb) : 0;
+    int rotation = m.rb ? (int)bc7_read(&r, m.rb) : 0;
+    int idx_sel = m.isb ? (int)bc7_read(&r, m.isb) : 0;
+    int nep = m.ns * 2;
+    int ep[6][4];
+    for (int c = 0; c < 3; c++)
+        for (int e = 0; e < nep; e++)
+            ep[e][c] = (int)bc7_read(&r, m.cb);
+    if (m.ab)
+        for (int e = 0; e < nep; e++)
+            ep[e][3] = (int)bc7_read(&r, m.ab);
+    int pbits[6] = {0, 0, 0, 0, 0, 0};
+    int has_p = 0;
+    if (m.epb) {
+        has_p = 1;
+        for (int e = 0; e < nep; e++) pbits[e] = (int)bc7_read(&r, 1);
+    } else if (m.spb) {
+        has_p = 1;
+        for (int s = 0; s < m.ns; s++) {
+            int p = (int)bc7_read(&r, 1);
+            pbits[2 * s] = pbits[2 * s + 1] = p;
+        }
+    }
+    for (int e = 0; e < nep; e++) {
+        int cb = m.cb + has_p;
+        for (int c = 0; c < 3; c++)
+            ep[e][c] = bc7_expand((ep[e][c] << has_p) | pbits[e], cb);
+        if (m.ab) {
+            int abts = m.ab + has_p;
+            ep[e][3] = bc7_expand((ep[e][3] << has_p) | pbits[e], abts);
+        } else {
+            ep[e][3] = 255;
+        }
+    }
+    // Index bit counts with anchor compression.
+    int idx1[16], idx2[16];
+    for (int px = 0; px < 16; px++) {
+        int subset = 0;
+        if (m.ns == 2) subset = bc7_part2[partition][px];
+        else if (m.ns == 3) subset = bc7_part3[partition][px];
+        int anchor = (px == 0);
+        if (m.ns == 2 && px == bc7_anchor2[partition]) anchor = 1;
+        if (m.ns == 3 && (px == bc7_anchor3a[partition] ||
+                          px == bc7_anchor3b[partition])) anchor = 1;
+        // anchors only apply to their own subset's first pixel; the
+        // tables guarantee that, so the simple check suffices.
+        idx1[px] = anchor ? -(m.ib) : m.ib;   // sign marks anchor
+        (void)subset;
+    }
+    for (int px = 0; px < 16; px++) {
+        int bits = idx1[px] < 0 ? -idx1[px] - 1 : idx1[px];
+        idx1[px] = (int)bc7_read(&r, bits);
+    }
+    if (m.ib2) {
+        for (int px = 0; px < 16; px++) {
+            int bits = (px == 0) ? m.ib2 - 1 : m.ib2;
+            idx2[px] = (int)bc7_read(&r, bits);
+        }
+    }
+    for (int px = 0; px < 16; px++) {
+        int subset = 0;
+        if (m.ns == 2) subset = bc7_part2[partition][px];
+        else if (m.ns == 3) subset = bc7_part3[partition][px];
+        const int *e0 = ep[2 * subset];
+        const int *e1 = ep[2 * subset + 1];
+        int wc, wa;
+        if (m.ib2) {
+            int i1 = idx1[px], i2 = idx2[px];
+            int w1 = (m.ib == 2) ? bc7_w2[i1] :
+                     (m.ib == 3) ? bc7_w3[i1] : bc7_w4[i1];
+            int w2 = (m.ib2 == 2) ? bc7_w2[i2] :
+                     (m.ib2 == 3) ? bc7_w3[i2] : bc7_w4[i2];
+            if (idx_sel) { wc = w2; wa = w1; }
+            else { wc = w1; wa = w2; }
+        } else {
+            int i1 = idx1[px];
+            wc = (m.ib == 2) ? bc7_w2[i1] :
+                 (m.ib == 3) ? bc7_w3[i1] : bc7_w4[i1];
+            wa = wc;
+        }
+        int px_out[4];
+        for (int c = 0; c < 3; c++)
+            px_out[c] = (e0[c] * (64 - wc) + e1[c] * wc + 32) >> 6;
+        px_out[3] = (e0[3] * (64 - wa) + e1[3] * wa + 32) >> 6;
+        if (rotation) {
+            int tmp = px_out[3];
+            px_out[3] = px_out[rotation - 1];
+            px_out[rotation - 1] = tmp;
+        }
+        for (int c = 0; c < 4; c++) out[px][c] = (uint8_t)px_out[c];
+    }
+}
+
+void decode_bc7(const uint8_t *src, uint8_t *dst, int width, int height) {
+    int bw = (width + 3) / 4, bh = (height + 3) / 4;
+    for (int by = 0; by < bh; by++) {
+        for (int bx = 0; bx < bw; bx++) {
+            uint8_t px[16][4];
+            decode_bc7_block(src + (by * bw + bx) * 16, px);
+            for (int i = 0; i < 16; i++) {
+                int x = bx * 4 + (i & 3);
+                int y = by * 4 + (i >> 2);
+                if (x >= width || y >= height) continue;
+                uint8_t *o = dst + (y * width + x) * 4;
+                for (int c = 0; c < 4; c++) o[c] = px[i][c];
+            }
+        }
+    }
+}
+
+}  // extern "C"

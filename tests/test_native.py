@@ -122,3 +122,68 @@ def test_gtpx_container(tmp_path):
         bad = str(tmp_path / "bad.gtpx")
         open(bad, "wb").write(b"NOPE" + b"\0" * 60)
         gtpx_load(bad)
+
+
+def test_decode_etc2_solid_and_modes():
+    from granite_tpu.native import decode_blocks
+    # Individual-mode block: 4-bit bases 0xF -> 255 (clamped after +2
+    # modifier), tables 0, all indices msb=0/lsb=0.
+    blk = np.array([0xFF, 0xFF, 0xFF, 0x00, 0, 0, 0, 0], np.uint8)
+    out = decode_blocks("etc2", blk, 4, 4)
+    assert (out[..., :3] == 255).all() and (out[..., 3] == 255).all()
+    # Base 0 -> modifier +2 everywhere.
+    blk0 = np.zeros(8, np.uint8)
+    out0 = decode_blocks("etc2", blk0, 4, 4)
+    assert (out0[..., :3] == 2).all()
+
+
+def test_decode_etc2a_alpha():
+    from granite_tpu.native import decode_blocks
+    # Alpha block: base=128, mult=0, table=13, selectors 0 -> modifier
+    # ^(msb-1): msb=0,lsb2=0 -> ~0 = -1 -> alpha = 128 - 0*mult... mult=0
+    # means alpha == base for all texels.
+    blk = np.zeros(16, np.uint8)
+    blk[0] = 128      # alpha base
+    blk[2:8] = 0      # selectors
+    blk[8:11] = 0xFF  # color bases (individual mode, 255)
+    out = decode_blocks("etc2a", blk, 4, 4)
+    assert (out[..., 3] == 128).all()
+    assert (out[..., 0] == 255).all()
+
+
+def test_decode_eac_r11():
+    from granite_tpu.native import decode_blocks
+    blk = np.zeros(8, np.uint8)
+    blk[0] = 255              # base
+    blk[1] = 0x10             # mult=1, table=0
+    blk[2:8] = 0xFF           # selectors: all 7 (msb=1, lsb2=3) -> +14
+    out = decode_blocks("eac_r11", blk, 4, 4)
+    assert (out[..., 0] == 255).all()     # clamped at 2047 >> 3
+    assert (out[..., 3] == 255).all()
+
+
+def _bits_to_bytes(bits):
+    out = np.zeros(16, np.uint8)
+    for i, b in enumerate(bits):
+        if b:
+            out[i >> 3] |= 1 << (i & 7)
+    return out
+
+
+def test_decode_bc7_mode6_solid():
+    from granite_tpu.native import decode_blocks
+    bits = []
+    bits += [0] * 6 + [1]                 # mode 6
+    val = 0x40
+    for _c in range(3):                   # R0 R1 G0 G1 B0 B1 (7 bits)
+        for _e in range(2):
+            bits += [(val >> k) & 1 for k in range(7)]
+    for _e in range(2):                   # A0 A1
+        bits += [(0x7F >> k) & 1 for k in range(7)]
+    bits += [1, 1]                        # p-bits
+    # indices: pixel 0 has 3 bits, rest 4 bits, all zero
+    bits += [0] * (3 + 15 * 4)
+    blk = _bits_to_bytes(bits)
+    out = decode_blocks("bc7", blk, 4, 4)
+    assert (out[..., 0] == 0x81).all(), out[0, 0]
+    assert (out[..., 3] == 255).all()
