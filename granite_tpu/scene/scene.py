@@ -25,6 +25,52 @@ import numpy as np
 from ..math.aabb import transform_aabbs
 from ..math.frustum import frustum_cull
 from ..math.transforms import compose_trs_batch
+from .ecs import EntityPool
+
+# -- scene component types (the reference's ecs component classes backing
+# renderer/scene.hpp:113: RenderInfoComponent, RenderableComponent,
+# OpaqueComponent/TransparentComponent/CastsStaticShadowComponent tag
+# types, ecs.hpp:130/209).  Hot per-frame data stays in the Scene SoA;
+# these components carry IDENTITY (row indices) so EntityGroup queries
+# work against the real scene.
+
+
+class TransformComponent:
+    __slots__ = ("node",)
+
+    def __init__(self, node: int):
+        self.node = node
+
+
+class RenderableComponent:
+    __slots__ = ("row", "mesh")
+
+    def __init__(self, row: int, mesh: int):
+        self.row = row
+        self.mesh = mesh
+
+
+class BoundedComponent:
+    __slots__ = ("row",)
+
+    def __init__(self, row: int):
+        self.row = row
+
+
+class OpaqueComponent:
+    __slots__ = ()
+
+
+class TransparentComponent:
+    __slots__ = ()
+
+
+class CastsShadowComponent:
+    __slots__ = ()
+
+
+class DynamicComponent:
+    __slots__ = ()
 
 RENDERABLE_OPAQUE = 1 << 0
 RENDERABLE_TRANSPARENT = 1 << 1
@@ -60,6 +106,12 @@ class Scene:
         self.r_world_max = np.zeros((0, 3), np.float32)
         # Morph-target weights per node (sparse: only morphing nodes).
         self.node_morph_weights: dict[int, np.ndarray] = {}
+        # ECS substrate: entities/groups back scene identity (the
+        # reference's Scene is built ON the ecs EntityPool; here the
+        # pool indexes into the SoA rows above).
+        self.entity_pool = EntityPool()
+        self.node_entity: list = []
+        self.renderable_entity: list = []
 
     # -- node management --------------------------------------------------------
     def _grow_nodes(self) -> None:
@@ -101,6 +153,9 @@ class Scene:
             self.scale[idx] = 1.0
         self.world[idx] = np.eye(4, dtype=np.float32)
         self._levels_dirty = True
+        e = self.entity_pool.create_entity()
+        e.allocate_component(TransformComponent, idx)
+        self.node_entity.append(e)
         return idx
 
     def set_parent(self, node: int, parent: int) -> None:
@@ -191,6 +246,18 @@ class Scene:
         self.r_aabb_max = self._r_amax_buf[:m]
         self.r_world_min = self._r_wmin_buf[:m]
         self.r_world_max = self._r_wmax_buf[:m]
+        e = self.entity_pool.create_entity()
+        e.allocate_component(RenderableComponent, n, mesh)
+        e.allocate_component(BoundedComponent, n)
+        if flags & RENDERABLE_OPAQUE:
+            e.allocate_component(OpaqueComponent)
+        if flags & RENDERABLE_TRANSPARENT:
+            e.allocate_component(TransparentComponent)
+        if flags & RENDERABLE_CASTS_SHADOW:
+            e.allocate_component(CastsShadowComponent)
+        if flags & RENDERABLE_DYNAMIC:
+            e.allocate_component(DynamicComponent)
+        self.renderable_entity.append(e)
         return RenderableHandle(n)
 
     # -- visibility queries (scene.hpp:133-163 gather_visible_*) -----------------
