@@ -585,7 +585,10 @@ class SceneViewerApplication(Application):
             if self.ocean is not None:
                 gb.add_texture_input("ocean-maps")
             if self.config.occlusion_culling:
-                gb.add_history_input("depth-main")
+                gb.add_history_input("vis-history")
+                gb.add_storage_output(
+                    "vis-history",
+                    BufferInfo((self.packed.num_objects,), jnp.bool_))
             gb.set_execute(self._gbuffer_pass)
             if self.config.ssao:
                 # CACAO-lite AO at half res (post/ssao.cpp analogue).
@@ -641,7 +644,10 @@ class SceneViewerApplication(Application):
             if self.ocean is not None:
                 forward.add_texture_input("ocean-maps")
             if self.config.occlusion_culling:
-                forward.add_history_input("depth-main")
+                forward.add_history_input("vis-history")
+                forward.add_storage_output(
+                    "vis-history",
+                    BufferInfo((self.packed.num_objects,), jnp.bool_))
             forward.set_execute(self._forward_pass)
 
         hdr_name = "hdr"
@@ -819,21 +825,49 @@ class SceneViewerApplication(Application):
         clip, wpos, wnrm, wtan = self._transform(ctx)
         object_mask = p["object_mask"]
         if self.config.occlusion_culling:
-            # HiZ occlusion cull against LAST frame's depth (carried as
-            # history; the conservative single-phase form of the
-            # reference's two-phase culler, scene_renderer.hpp:132 —
-            # phase 2 re-test is future work, noted in README).
+            # TWO-PHASE HiZ occlusion culling (scene_renderer.hpp:132
+            # CullingPhase First/Second; meshlet_cull.comp):
+            #   phase 1 renders last frame's visible set, a fresh HiZ is
+            #   built from its depth, phase 2 re-tests the remaining
+            #   objects against it and renders the newly visible ones;
+            #   the union is exact (no popping).  The per-object
+            #   visibility set carries as graph history.
+            from ..ops import raster as R
             from ..ops.hiz import build_hiz, occlusion_test, project_aabbs
-            prev_depth = ctx.history("depth-main")
-            hiz = build_hiz(prev_depth)
+            from ..renderer.raster_dispatch import rasterize_binned_checked
+            import jax as _jax
+            prev_vis = ctx.history("vis-history")
+            setup = R.setup_triangles(clip, scene.indices, self._rw,
+                                      self._rh)
             rmin, rmax, maxz, behind = project_aabbs(
                 p["obj_world_min"], p["obj_world_max"], p["view_proj"],
                 self._rw, self._rh)
-            occ = occlusion_test(hiz, rmin, rmax, maxz,
-                                 self._rw, self._rh) | behind
-            object_mask = object_mask & occ
-        setup, depth, tri = rasterize_scene(
-            scene, clip, object_mask, self._rw, self._rh)
+
+            def raster_with(mask):
+                tri_visible = mask[scene.tri_object]
+                s1 = setup._replace(valid=setup.valid & tri_visible)
+                if _jax.default_backend() == "cpu":
+                    return R.rasterize(s1, self._rw, self._rh)
+                return rasterize_binned_checked(s1, self._rw, self._rh)
+
+            m1 = object_mask & prev_vis
+            depth1, tri1 = raster_with(m1)
+            hiz1 = build_hiz(depth1)
+            occ2 = occlusion_test(hiz1, rmin, rmax, maxz,
+                                  self._rw, self._rh) | behind
+            m2 = object_mask & ~prev_vis & occ2
+            depth2, tri2 = raster_with(m2)
+            closer2 = depth2 > depth1
+            depth = jnp.where(closer2, depth2, depth1)
+            tri = jnp.where(closer2, tri2, tri1)
+            # Next frame's visible set: exact test vs the FINAL depth.
+            hiz_f = build_hiz(depth)
+            new_vis = occlusion_test(hiz_f, rmin, rmax, maxz,
+                                     self._rw, self._rh) | behind
+            self._pending_vis_history = new_vis
+        else:
+            setup, depth, tri = rasterize_scene(
+                scene, clip, object_mask, self._rw, self._rh)
         prev_wpos = None
         if self._use_taa:
             # Last-frame vertex positions for per-object motion vectors
@@ -890,6 +924,8 @@ class SceneViewerApplication(Application):
         color = self._apply_transparent(ctx, color, depth)
         color = self._apply_fog(ctx, color, depth)
         out = {"hdr": color, "depth-main": depth}
+        if self.config.occlusion_culling:
+            out["vis-history"] = self._pending_vis_history
         if self._use_taa:
             out["mv"] = self._motion_vectors(ctx, surf, depth)
         return out
@@ -901,6 +937,8 @@ class SceneViewerApplication(Application):
                                   axis=-1),
                "g-emissive": surf["emissive"], "g-pos": surf["pos"],
                "depth-main": depth, "g-covered": surf["covered"]}
+        if self.config.occlusion_culling:
+            out["vis-history"] = self._pending_vis_history
         if self._use_taa:
             out["mv"] = self._motion_vectors(ctx, surf, depth)
         return out

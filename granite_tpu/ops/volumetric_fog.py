@@ -96,15 +96,14 @@ def fog_light_density(inv_view_proj, proj, camera_pos, sun_dir, sun_color,
         # Clustered lights evaluated for every froxel (pure ALU; the
         # falloff kills distant lights, so no cluster-mask gathers).
         from .clusterer import positional_light_color
-        import jax
 
-        def body(i, acc):
+        acc = jnp.zeros_like(light)
+        for i in range(lights.pos.shape[0]):   # unrolled: fuses fully
             color, ld = positional_light_color(lights, i, pos)
             ph = 0.55 - 0.45 * (view_dir * ld).sum(-1)
             alive = (i < lights.count).astype(jnp.float32)
-            return acc + color * (ph * alive)[..., None]
-        light = light + jax.lax.fori_loop(0, lights.pos.shape[0], body,
-                                          jnp.zeros_like(light))
+            acc = acc + color * (ph * alive)[..., None]
+        light = light + acc
 
     # albedo = density_mod * slice_extent * length_mod * fog_density
     # (get_fog_albedo x compute_fog_density; the latter is 0.1 in the

@@ -67,3 +67,39 @@ def test_viewer_occlusion_knob(tmp_path):
     b = np.asarray(app.render_frame(0.016, 0.016))  # frame 1: culled w/ HiZ
     # Static camera: the HiZ cull must not change the image.
     assert np.array_equal(a, b)
+
+
+def test_two_phase_occlusion_matches_uncullled_render():
+    """Two-phase culling is conservative: the rendered image equals the
+    uncull render (scene_renderer.hpp:132 First/Second phases), and the
+    carried visibility set stabilizes after frame 0."""
+    import json
+    import tempfile
+    import types
+
+    import numpy as np
+
+    def render(extra):
+        cfg = {"renderer": "forward", "hdrBloom": False,
+               "shadowMapResolution": 32,
+               "clusteredLightsShadows": False}
+        cfg.update(extra)
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as f:
+            json.dump(cfg, f)
+            path = f.name
+        from granite_tpu.app.scene_viewer import SceneViewerApplication
+        app = SceneViewerApplication(types.SimpleNamespace(
+            scene=None, config=path, camera_index=-1, bench_scene=False))
+        app.swapchain_updated(96, 64)
+        out = None
+        for i in range(2):
+            out = app.render_frame(1 / 60, i / 60.0)
+        return np.asarray(out)
+
+    base = render({})
+    culled = render({"occlusionCulling": True})
+    assert base.shape == culled.shape
+    # Frame 1 re-renders the (now known) visible set; conservative
+    # culling must not change the image.
+    assert (base.astype(int) - culled.astype(int)).__abs__().max() <= 1
