@@ -866,21 +866,41 @@ class SceneViewerApplication(Application):
                                      self._rw, self._rh) | behind
             self._pending_vis_history = new_vis
         else:
+            prev_wpos = self._prev_world_positions(ctx, scene)
+            import os as _os
+            if jax.default_backend() != "cpu" and not _os.environ.get(
+                    "GRANITE_DISABLE_FUSED_RASTER"):
+                # Fused Pallas raster+resolve (ops/raster_fused.py):
+                # the per-pixel packed-row gather and interpolation move
+                # into the tile kernel (one-hot MXU fetch).
+                from ..renderer.scene_renderer import fused_raster_surface
+                return fused_raster_surface(
+                    scene, clip, object_mask, wpos, wnrm, wtan,
+                    self._rw, self._rh, lod_bias=self.config.lod_bias,
+                    prev_world_pos=prev_wpos)
             setup, depth, tri = rasterize_scene(
                 scene, clip, object_mask, self._rw, self._rh)
-        prev_wpos = None
-        if self._use_taa:
-            # Last-frame vertex positions for per-object motion vectors
-            # (reconstruct_mv.frag); rides the packed-row resolve gather.
-            from ..renderer.scene_renderer import world_positions
-            prev_wpos = world_positions(
-                scene, ctx.input("prev_world"),
-                p.get("prev_skin_palette"),
-                morph_weights=p.get("prev_morph_weights"))
+            surf = surface_attributes(
+                scene, setup, tri, wpos, wnrm, wtan, self._rw, self._rh,
+                lod_bias=self.config.lod_bias, prev_world_pos=prev_wpos)
+            return surf, depth
+        prev_wpos = self._prev_world_positions(ctx, scene)
         surf = surface_attributes(
             scene, setup, tri, wpos, wnrm, wtan, self._rw, self._rh,
             lod_bias=self.config.lod_bias, prev_world_pos=prev_wpos)
         return surf, depth
+
+    def _prev_world_positions(self, ctx, scene):
+        if not self._use_taa:
+            return None
+        # Last-frame vertex positions for per-object motion vectors
+        # (reconstruct_mv.frag); rides the resolve payload.
+        from ..renderer.scene_renderer import world_positions
+        p = ctx.params
+        return world_positions(
+            scene, ctx.input("prev_world"),
+            p.get("prev_skin_palette"),
+            morph_weights=p.get("prev_morph_weights"))
 
     def _light_kwargs(self, ctx):
         p = ctx.params

@@ -55,24 +55,30 @@ SPAN_H = 4
 PACKET_F32 = 128
 
 
-def _build_packets(setup: TriangleSetup) -> jax.Array:
-    """(T, 24) f32 packets; slot 20 holds the int32 tri id (bitcast)."""
+def _build_packets(setup: TriangleSetup, extra=None) -> jax.Array:
+    """(T, 128) f32 packets; slot 20 holds the int32 tri id (bitcast).
+
+    extra: optional (T, E<=107) resolve payload placed at columns 21..
+    (the fused raster+resolve kernel, ops/raster_fused.py)."""
     T = setup.adj.shape[0]
     tri_ids = jax.lax.bitcast_convert_type(
         jnp.arange(T, dtype=jnp.int32), jnp.float32)
-    packets = jnp.concatenate([
-        setup.edge.reshape(T, 15),
-        setup.zplane,
-        setup.offset,
-        tri_ids[:, None],
-        jnp.zeros((T, PACKET_F32 - 21), jnp.float32),
-    ], axis=1)
-    return packets
+    cols = [setup.edge.reshape(T, 15),
+            setup.zplane,
+            setup.offset,
+            tri_ids[:, None]]
+    used = 21
+    if extra is not None:
+        cols.append(extra.astype(jnp.float32))
+        used += extra.shape[1]
+    cols.append(jnp.zeros((T, PACKET_F32 - used), jnp.float32))
+    return jnp.concatenate(cols, axis=1)
 
 
 def bin_triangles(setup: TriangleSetup, width: int, height: int,
                   huge_cap: int = 1024, max_visible: int | None = None,
-                  span_w: int = SPAN_W, span_h: int = SPAN_H):
+                  span_w: int = SPAN_W, span_h: int = SPAN_H,
+                  extra=None):
     """Sort-based binning (one key per small triangle — see module doc).
 
     Returns (packets_sorted (T+CHUNK, 128), starts (ntiles+1,),
@@ -94,8 +100,10 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
 
     bbox = setup.bbox
     valid = setup.valid
-    packets_full = _build_packets(setup)
+    packets_full = _build_packets(setup, extra)
     stats = {}
+    if extra is not None:
+        assert max_visible is None, "extra payload + compaction unsupported"
     if max_visible is not None and max_visible < setup.adj.shape[0]:
         C = max_visible
         vpos = jnp.cumsum(valid.astype(jnp.int32)) - 1

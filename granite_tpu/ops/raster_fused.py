@@ -1,0 +1,350 @@
+"""Fused raster + visibility resolve — the TPU mega-kernel.
+
+Extends the binned rasterizer (ops/raster_binned.py) so the per-pixel
+RESOLVE happens inside the tile kernel instead of via per-pixel HBM
+gathers (which cost ~22ms per 2M indices on the v5e regardless of
+locality — CLAUDE.md gather economics):
+
+  1. packets carry the full resolve payload (edges + z-plane + adjugate
+     + 3 corner attribute rows + material constants) in their spare
+     lanes — the 128-wide packet row was already padded;
+  2. each tile DMAs its packet ranges into a VMEM table and rasterizes
+     from it, tracking the winning TABLE SLOT per pixel;
+  3. the winner's 64-lane payload is fetched for every pixel with a
+     ONE-HOT dot_general on the MXU: onehot(win_slot) contracted with
+     the packet table — the "gather" runs at matmul speed;
+  4. perspective-correct interpolation + analytic UV derivatives run on
+     the fetched planes in VMEM, and the kernel writes 32 attribute
+     PLANES (attr-major (32, H, W) — no lane padding, ideal for the
+     elementwise XLA shading that follows).
+
+Plane layout (PLANE_*): depth, covered, world pos, normal, tangent4,
+uv, duv/dx, duv/dy, base color factor, metallic/roughness, bundle id,
+emissive, prev-frame pos (motion vectors).  Texture fetches stay in XLA
+(the bundle array is HBM-resident).
+
+Outputs bit-match the classic surface_attributes interpolation (tested
+in interpret mode against it).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raster import TriangleSetup
+from .raster_binned import (
+    CHUNK, PACKET_F32, SPAN_H, SPAN_W, TILE_H, TILE_W, bin_triangles,
+)
+
+# Packet payload columns (base layout cols 0..20 as raster_binned):
+COL_ADJ = 21          # 9: adjugate rows
+COL_CORNER = 30       # 36: 3 corners x (pos3, nrm3, tan4, uv2)
+COL_BASE = 66         # 4: base color factor
+COL_MR = 70           # 2
+COL_BUNDLE = 72       # 1
+COL_EMISSIVE = 73     # 3
+COL_PREV = 76         # 9: 3 corners x prev world pos
+EXTRA_COLS = 64       # payload lanes fetched by the one-hot matmul
+PAYLOAD_LO = 21       # payload slice [PAYLOAD_LO, PAYLOAD_LO+64)
+
+# Output plane indices (32 planes).
+PLANE_DEPTH = 0
+PLANE_COVERED = 1
+PLANE_POS = 2         # 3
+PLANE_NRM = 5         # 3
+PLANE_TAN = 8         # 4
+PLANE_UV = 12         # 2
+PLANE_DUVDX = 14      # 2
+PLANE_DUVDY = 16      # 2
+PLANE_BASE = 18       # 4
+PLANE_MR = 22         # 2
+PLANE_BUNDLE = 24
+PLANE_EMISSIVE = 25   # 3
+PLANE_PREV = 28       # 3
+NUM_PLANES = 32
+
+MAX_TILE_E = 2048     # VMEM packet-table capacity per tile
+OH_CHUNK = 256        # one-hot matmul chunk
+
+
+def build_resolve_extra(scene, world_pos, world_normal, world_tangent,
+                        prev_world_pos=None):
+    """(T, 55|64) per-triangle resolve payload appended to packets.
+
+    Column layout matches COL_* minus the COL_ADJ origin (packets place
+    this block starting at column 21; adj/offset already live in the
+    base packet, so this starts at the corner block... no — adj is NOT
+    in the base packet; it is part of this extra block)."""
+    T_ = scene.indices.shape[0]
+    attrs = [world_pos, world_normal, world_tangent, scene.uvs]
+    if prev_world_pos is not None:
+        attrs.append(prev_world_pos)
+    vattrs = jnp.concatenate(attrs, axis=1)
+    A = vattrs.shape[1]
+    corner = vattrs[scene.indices]                  # (T, 3, A)
+    base = corner[..., 0:12].reshape(T_, 36)
+    mat = scene.tri_material
+    cols = [base,
+            scene.mat_base_color[mat],
+            scene.mat_mr[mat],
+            scene.mat_bundle[mat].astype(jnp.float32)[:, None],
+            scene.mat_emissive[mat]]
+    if prev_world_pos is not None:
+        cols.append(corner[..., 12:15].reshape(T_, 9))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _fused_kernel(starts_ref, huge_count_ref,
+                  packets_hbm, huge_hbm,
+                  planes_out,
+                  table, dma_sems, depth_s, win_s,
+                  *, tiles_x: int, span_w: int, span_h: int,
+                  has_prev: bool):
+    tile = pl.program_id(0)
+    ty = tile // tiles_x
+    tx = tile % tiles_x
+
+    px = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+          .astype(jnp.float32) + ((tx * TILE_W).astype(jnp.float32) + 0.5))
+    py = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          .astype(jnp.float32) + ((ty * TILE_H).astype(jnp.float32) + 0.5))
+
+    depth_s[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    # Winner slot; MAX_TILE_E - 1 is the reserved zero row (background).
+    win_s[:] = jnp.full((TILE_H, TILE_W), MAX_TILE_E - 1, jnp.int32)
+    # Zero the table: the one-hot matmul multiplies UNMATCHED rows by 0,
+    # and 0 * garbage-NaN from uninitialized VMEM would poison the
+    # accumulator.
+    table[:] = jnp.zeros((MAX_TILE_E, PACKET_F32), jnp.float32)
+
+    # ---- gather this tile's packet ranges into the VMEM table ----------
+    def copy_range(hbm_ref, src_start, dst_start, count, sem_slot):
+        # Headroom: chunked copies may overshoot by CHUNK-1 rows and the
+        # last row is the reserved background slot.
+        n = jnp.minimum(count, MAX_TILE_E - 1 - CHUNK - dst_start)
+        n = jnp.maximum(n, 0)
+        nc = pl.cdiv(n, CHUNK)
+
+        def body(i, _):
+            sz = CHUNK
+            cp = pltpu.make_async_copy(
+                hbm_ref.at[pl.ds(src_start + i * CHUNK, sz), :],
+                table.at[pl.ds(dst_start + i * CHUNK, sz), :],
+                dma_sems.at[sem_slot])
+            cp.start()
+            cp.wait()
+            return 0
+        jax.lax.fori_loop(0, nc, body, 0)
+        return dst_start + n
+
+    dst = jnp.int32(0)
+    for wy in range(span_h):
+        by = ty - wy
+        bx0 = jnp.maximum(tx - (span_w - 1), 0)
+        base_idx = by * tiles_x
+        start = starts_ref[jnp.maximum(base_idx, 0) + bx0]
+        end = starts_ref[jnp.maximum(base_idx, 0) + tx + 1]
+        count = jnp.where(by >= 0, end - start, 0)
+        dst = copy_range(packets_hbm, start, dst, count, 0)
+    dst = copy_range(huge_hbm, 0, dst, huge_count_ref[0], 0)
+    count_total = dst
+
+    # ---- raster from the table -----------------------------------------
+    n_chunks = pl.cdiv(count_total, CHUNK)
+
+    def chunk_body(ci, _):
+        c = table[pl.ds(ci * CHUNK, CHUNK), :]
+        valid_rows = (jax.lax.broadcasted_iota(
+            jnp.int32, (CHUNK, 1), 0)[:, 0] + ci * CHUNK) < count_total
+        c = jnp.where(valid_rows[:, None], c, 0.0)
+        depth_cur = depth_s[:]
+        win_cur = win_s[:]
+        for k in range(CHUNK):
+            lam_ok = None
+            for e in range(3):
+                a = c[k, e * 5 + 0]
+                b = c[k, e * 5 + 1]
+                cc = c[k, e * 5 + 2]
+                ex = c[k, e * 5 + 3]
+                ey = c[k, e * 5 + 4]
+                lam = a * (px - ex) + b * (py - ey) + cc
+                top_left = (a > 0) | ((a == 0) & (b > 0))
+                ok = (lam > 0) | (top_left & (lam == 0))
+                lam_ok = ok if lam_ok is None else (lam_ok & ok)
+            z = (c[k, 15] * (px - c[k, 18]) + c[k, 16] * (py - c[k, 19])
+                 + c[k, 17])
+            cover = lam_ok & (z >= 0.0) & (z <= 1.0)
+            hit = cover & (z > depth_cur)
+            depth_cur = jnp.where(hit, z, depth_cur)
+            win_cur = jnp.where(hit, ci * CHUNK + k, win_cur)
+        depth_s[:] = depth_cur
+        win_s[:] = win_cur
+        return 0
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    # ---- one-hot MXU fetch of the winners' payload ----------------------
+    idx_flat = win_s[:].reshape(1, TILE_H * TILE_W)       # (1, P)
+    acc = jnp.zeros((EXTRA_COLS, TILE_H * TILE_W), jnp.float32)
+    oh_chunks = pl.cdiv(
+        jnp.minimum(count_total + 1, MAX_TILE_E), OH_CHUNK)
+
+    def oh_body(ci, acc):
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (OH_CHUNK, TILE_H * TILE_W), 0) + ci * OH_CHUNK
+        oh = (rows == idx_flat).astype(jnp.float32)       # (C, P)
+        w = table[pl.ds(ci * OH_CHUNK, OH_CHUNK),
+                  PAYLOAD_LO:PAYLOAD_LO + EXTRA_COLS]      # (C, 64)
+        acc = acc + jax.lax.dot_general(
+            w, oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (64, P)
+        return acc
+    # The background row (MAX_TILE_E-1) may fall outside the looped
+    # chunks; its payload is zero anyway, so fetching nothing is correct.
+    acc = jax.lax.fori_loop(0, oh_chunks, oh_body, acc)
+
+    v = acc.reshape(EXTRA_COLS, TILE_H, TILE_W)
+    # Payload columns relative to PAYLOAD_LO (=21):
+    # [0:9] adj | [9:45] corners | [45:49] base | [49:51] mr |
+    # [51] bundle | [52:55] emissive | [55:64] prev corners
+    # NOTE: offset (packet cols 18:20) is NOT in the payload window; the
+    # adjugate is evaluated about the per-triangle origin, so we need it:
+    # re-fetch via a second tiny one-hot?  No — fold: the raster loop
+    # already evaluated z about the offset; for interpolation we fetch
+    # offset through two extra payload lanes mirrored at build time
+    # (extra cols 62:64 when prev is absent).  To keep one layout, the
+    # packet builder ALWAYS mirrors offset into cols 85:87... simpler:
+    # adj is affine in (px,py); the builder pre-folds the offset into
+    # adj's constant term: lam = a*(px-ox)+b*(py-oy)+c
+    #                           = a*px + b*py + (c - a*ox - b*oy).
+    adj_a = [v[0], v[3], v[6]]
+    adj_b = [v[1], v[4], v[7]]
+    adj_c = [v[2], v[5], v[8]]
+    lam = [adj_a[i] * px + adj_b[i] * py + adj_c[i] for i in range(3)]
+    D = lam[0] + lam[1] + lam[2]
+    Dx = adj_a[0] + adj_a[1] + adj_a[2]
+    Dy = adj_b[0] + adj_b[1] + adj_b[2]
+    D = jnp.where(jnp.abs(D) < 1e-20, 1e-20, D)
+    inv_d = 1.0 / D
+
+    covered = (win_s[:] != MAX_TILE_E - 1).astype(jnp.float32)
+
+    def interp(c0, c1, c2):
+        n = lam[0] * c0 + lam[1] * c1 + lam[2] * c2
+        return n * inv_d
+
+    def interp_derivs(c0, c1, c2):
+        n = lam[0] * c0 + lam[1] * c1 + lam[2] * c2
+        nx = adj_a[0] * c0 + adj_a[1] * c1 + adj_a[2] * c2
+        ny = adj_b[0] * c0 + adj_b[1] * c1 + adj_b[2] * c2
+        val = n * inv_d
+        ddx = (nx - val * Dx) * inv_d
+        ddy = (ny - val * Dy) * inv_d
+        return val, ddx, ddy
+
+    planes_out[PLANE_DEPTH] = depth_s[:]
+    planes_out[PLANE_COVERED] = covered
+    for a in range(12):
+        c0 = v[9 + a]
+        c1 = v[9 + 12 + a]
+        c2 = v[9 + 24 + a]
+        if a < 10:                              # pos, nrm, tan
+            planes_out[PLANE_POS + a] = interp(c0, c1, c2)
+        else:                                   # uv + derivatives
+            val, ddx, ddy = interp_derivs(c0, c1, c2)
+            u_off = a - 10
+            planes_out[PLANE_UV + u_off] = val
+            planes_out[PLANE_DUVDX + u_off] = ddx
+            planes_out[PLANE_DUVDY + u_off] = ddy
+    for a in range(4):
+        planes_out[PLANE_BASE + a] = v[45 + a]
+    planes_out[PLANE_MR] = v[49]
+    planes_out[PLANE_MR + 1] = v[50]
+    planes_out[PLANE_BUNDLE] = v[51]
+    for a in range(3):
+        planes_out[PLANE_EMISSIVE + a] = v[52 + a]
+    if has_prev:
+        for a in range(3):
+            planes_out[PLANE_PREV + a] = interp(v[55 + a], v[58 + a],
+                                                v[61 + a])
+    else:
+        for a in range(3):
+            planes_out[PLANE_PREV + a] = jnp.zeros((TILE_H, TILE_W),
+                                                   jnp.float32)
+    planes_out[NUM_PLANES - 1] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+
+def rasterize_resolve(setup: TriangleSetup, extra, width: int,
+                      height: int, huge_cap: int = 1024,
+                      interpret: bool | None = None,
+                      span_w: int = SPAN_W, span_h: int = SPAN_H,
+                      has_prev: bool = False):
+    """Fused binned raster + resolve.  Returns (planes (32, H, W) f32).
+
+    extra: (T, 46|55) payload from build_resolve_extra (corners +
+    material constants); the offset-folded adjugate is prepended here.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    tx = -(-width // TILE_W)
+    ty = -(-height // TILE_H)
+    ntiles = tx * ty
+    pw = tx * TILE_W
+    ph = ty * TILE_H
+
+    T_ = setup.adj.shape[0]
+    adj9 = fold_adjugate(setup).reshape(T_, 9)
+    payload = jnp.concatenate([adj9, extra], axis=1)
+    if payload.shape[1] < EXTRA_COLS:
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((T_, EXTRA_COLS - payload.shape[1]),
+                                jnp.float32)], axis=1)
+
+    packets, starts, huge_packets, huge_count, stats = bin_triangles(
+        setup, width, height, huge_cap, span_w=span_w, span_h=span_h,
+        extra=payload)
+
+    kernel = functools.partial(_fused_kernel, tiles_x=tx, span_w=span_w,
+                               span_h=span_h, has_prev=has_prev)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (NUM_PLANES, TILE_H, TILE_W),
+            lambda i, *_: (0, i // (pw // TILE_W), i % (pw // TILE_W)),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((MAX_TILE_E, PACKET_F32), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.int32),
+        ],
+    )
+    planes = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NUM_PLANES, ph, pw), jnp.float32),
+        interpret=interpret,
+    )(starts, jnp.full((1,), huge_count, jnp.int32), packets, huge_packets)
+    return planes[:, :height, :width]
+
+
+def fold_adjugate(setup: TriangleSetup):
+    """Adjugate with the per-triangle origin folded into the constant
+    term: lam = a*(px-ox) + b*(py-oy) + c  ==  a*px + b*py + c' with
+    c' = c - a*ox - b*oy.  Lets the kernel interpolate without the
+    offset columns."""
+    adj = setup.adj                                   # (T, 3, 3)
+    ox = setup.offset[:, 0:1]
+    oy = setup.offset[:, 1:2]
+    c_folded = adj[..., 2] - adj[..., 0] * ox - adj[..., 1] * oy
+    return jnp.concatenate(
+        [adj[..., 0:1], adj[..., 1:2], c_folded[..., None]], axis=-1)

@@ -600,6 +600,89 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
     return out
 
 
+def _material_shade_tail(scene, bundles, pos, nrm, tan, uv, duvdx, duvdy,
+                         base_factor, mr_factor, bundle_id,
+                         emissive_factor, covered, lod_bias, prev_pos=None):
+    """Texture fetch + normal mapping tail shared by the classic resolve
+    and the fused-kernel plane path."""
+    S = bundles.shape[2]
+    lod = T.lod_from_derivs(duvdx[..., 0], duvdx[..., 1],
+                            duvdy[..., 0], duvdy[..., 1], S, S,
+                            bias=lod_bias)
+    u, v = uv[..., 0], uv[..., 1]
+    tex = T.sample_packed_trilinear(bundles, bundle_id, u, v, lod, 16)
+    base_tex = tex[..., 0:4]
+    base_color = base_factor[..., :3] * base_tex[..., :3]
+    if scene.has_mr_textures:
+        metallic = mr_factor[..., 0] * tex[..., 6]
+        roughness = mr_factor[..., 1] * tex[..., 5]
+    else:
+        metallic = mr_factor[..., 0]
+        roughness = mr_factor[..., 1]
+    n = _normalize(nrm)
+    if scene.has_normal_maps:
+        t3 = _normalize(tan[..., :3])
+        b = jnp.cross(n, t3) * tan[..., 3:4]
+        tn = tex[..., 8:11] * 2.0 - 1.0
+        n_mapped = _normalize(tn[..., 0:1] * t3 + tn[..., 1:2] * b
+                              + tn[..., 2:3] * n)
+    else:
+        n_mapped = n
+    if scene.has_emissive:
+        emissive = emissive_factor * tex[..., 12:15]
+    else:
+        emissive = jnp.zeros_like(base_color)
+    alpha = base_factor[..., 3] * base_tex[..., 3]
+    out = {"pos": pos, "normal": n_mapped, "base_color": base_color,
+           "metallic": metallic, "roughness": roughness,
+           "emissive": emissive, "covered": covered, "alpha": alpha}
+    if prev_pos is not None:
+        out["prev_pos"] = prev_pos
+    return out
+
+
+def fused_raster_surface(scene: PackedScene, clip, object_mask,
+                         world_pos, world_normal, world_tangent,
+                         width: int, height: int, lod_bias: float = 0.0,
+                         prev_world_pos=None, bundles=None,
+                         interpret=None):
+    """Raster + resolve through the fused Pallas mega-kernel
+    (ops/raster_fused.py): zero per-pixel HBM gathers until the texture
+    fetch.  Returns (surf dict, depth)."""
+    from ..ops.raster_fused import (
+        PLANE_BASE, PLANE_BUNDLE, PLANE_COVERED, PLANE_DEPTH,
+        PLANE_DUVDX, PLANE_DUVDY, PLANE_EMISSIVE, PLANE_MR, PLANE_NRM,
+        PLANE_POS, PLANE_PREV, PLANE_TAN, PLANE_UV,
+        build_resolve_extra, rasterize_resolve,
+    )
+    if bundles is None:
+        bundles = scene.bundles
+    setup = R.setup_triangles(clip, scene.indices, width, height)
+    tri_visible = object_mask[scene.tri_object]
+    setup = setup._replace(valid=setup.valid & tri_visible)
+    extra = build_resolve_extra(scene, world_pos, world_normal,
+                                world_tangent, prev_world_pos)
+    planes = rasterize_resolve(setup, extra, width, height,
+                               interpret=interpret,
+                               has_prev=prev_world_pos is not None)
+
+    def ch(base, n):
+        return jnp.moveaxis(planes[base:base + n], 0, -1)
+
+    surf = _material_shade_tail(
+        scene, bundles,
+        pos=ch(PLANE_POS, 3), nrm=ch(PLANE_NRM, 3),
+        tan=ch(PLANE_TAN, 4), uv=ch(PLANE_UV, 2),
+        duvdx=ch(PLANE_DUVDX, 2), duvdy=ch(PLANE_DUVDY, 2),
+        base_factor=ch(PLANE_BASE, 4), mr_factor=ch(PLANE_MR, 2),
+        bundle_id=planes[PLANE_BUNDLE].astype(jnp.int32),
+        emissive_factor=ch(PLANE_EMISSIVE, 3),
+        covered=planes[PLANE_COVERED] > 0.5, lod_bias=lod_bias,
+        prev_pos=(ch(PLANE_PREV, 3) if prev_world_pos is not None
+                  else None))
+    return surf, planes[PLANE_DEPTH]
+
+
 def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
                   lights=None, z_masks=None, tile_masks=None,
                   width: int = 0, height: int = 0,
