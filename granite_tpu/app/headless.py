@@ -42,6 +42,10 @@ def add_headless_cli(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--warmup-frames", type=int, default=2,
                         dest="warmup_frames",
                         help="untimed compile/warmup frames")
+    parser.add_argument("--capture-probe", type=str, default=None,
+                        dest="capture_probe",
+                        help="render a 6-face environment probe and "
+                             "write an equirect PNG/.npy to this path")
 
 
 def run_headless(app: Application, args: argparse.Namespace) -> int:
@@ -53,6 +57,10 @@ def run_headless(app: Application, args: argparse.Namespace) -> int:
 
     # Warmup: trigger trace+compile outside the timed region (the analogue
     # of Fossilize pipeline warm-up before benchmarking).
+    if getattr(args, "capture_probe", None) and hasattr(
+            app, "capture_environment_probe"):
+        app.capture_environment_probe(args.capture_probe, face_size=128,
+                                      equirect_height=64)
     for _ in range(max(args.warmup_frames, 0)):
         out = app.render_frame(args.time_step or (1.0 / 60.0), 0.0)
         out.block_until_ready()

@@ -314,6 +314,20 @@ class SceneViewerApplication(Application):
                     self, "_reload_config", True))
         import os as _os
         self._debug_graph = bool(_os.environ.get("GRANITE_DEBUG_GRAPH"))
+        # Kernel-source hot reload (ShaderManager include-graph watch,
+        # vulkan/managers/shader_manager.hpp:215 / SURVEY §3.5): watch
+        # the op modules; on change, reload + re-bake (= re-trace +
+        # re-jit, the pipeline-rebuild analogue).  Opt-in:
+        # GRANITE_WATCH_KERNELS=1 (CI runs must stay deterministic).
+        self._kernel_watch = []
+        if _os.environ.get("GRANITE_WATCH_KERNELS"):
+            import glob
+            pkg = _os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__)))
+            for pat in ("ops/*.py", "renderer/*.py"):
+                for f in glob.glob(_os.path.join(pkg, pat)):
+                    self._kernel_watch.append(
+                        [f, _os.path.getmtime(f)])
         if self.ocean is not None:
             # per-vertex mask of the ocean grid + exclude from shadow casting
             self._ocean_vmask = jnp.asarray(
@@ -435,6 +449,9 @@ class SceneViewerApplication(Application):
             cd = self.info.cameras[cam_index]
             cam.set_fovy(cd.fovy)
             cam.set_depth_range(cd.znear, cd.zfar)
+            if getattr(cd, "ortho", False):
+                # glTF orthographic camera (muglm reverse-Z ortho).
+                cam.set_ortho(True, cd.xmag, cd.ymag)
             if cd.node is not None:
                 w = self.scene.world[cd.node]
                 cam.position = w[:3, 3].copy()
@@ -1440,6 +1457,71 @@ class SceneViewerApplication(Application):
         out, self._history = self.graph.execute(params, self._history)
         return out
 
+    def capture_environment_probe(self, path: str, face_size: int = 512,
+                                  equirect_height: int = 256):
+        """Environment probe capture (SceneViewerApplication::
+        capture_environment_probe, scene_viewer_application.cpp:641):
+        renders the scene into 6 cube faces from the camera position and
+        assembles an equirect radiance map; writes `path` (PNG preview)
+        and `path`.npy (linear HDR float32)."""
+        from ..ops.light_shadows import FACE_DIRS, FACE_UPS
+        from ..utils.image_io import save_png
+        saved = (self.camera.position.copy(), self.camera.rotation.copy(),
+                 self.camera.fovy, getattr(self.camera, "aspect", 1.0))
+        old_size = (self.width, self.height)
+        self.swapchain_updated(face_size, face_size)
+        self.camera.set_fovy(np.pi / 2)
+        self.camera.set_aspect(1.0)
+        faces = []
+        for f in range(6):
+            self.camera.look_at(saved[0], saved[0] + FACE_DIRS[f],
+                                FACE_UPS[f])
+            out = self.render_frame(1 / 60, 0.0)
+            faces.append(np.asarray(out)[..., :3].astype(np.float32)
+                         / 255.0)
+        # cube -> equirect (convert_cube_to_environment analogue)
+        h = equirect_height
+        w = 2 * h
+        v = (np.arange(h) + 0.5) / h
+        u = (np.arange(w) + 0.5) / w
+        theta = v * np.pi
+        phi = u * 2 * np.pi
+        st = np.sin(theta)[:, None]
+        y = np.broadcast_to(np.cos(theta)[:, None], (h, w))
+        x = st * np.cos(phi)[None, :]
+        z = st * np.sin(phi)[None, :]
+        d = np.stack([x, y, z], -1)
+        ax = np.abs(d)
+        face_id = np.where((ax[..., 0] >= ax[..., 1])
+                           & (ax[..., 0] >= ax[..., 2]),
+                           np.where(d[..., 0] >= 0, 0, 1),
+                           np.where(ax[..., 1] >= ax[..., 2],
+                                    np.where(d[..., 1] >= 0, 2, 3),
+                                    np.where(d[..., 2] >= 0, 4, 5)))
+        out_img = np.zeros((h, w, 3), np.float32)
+        for f in range(6):
+            m = face_id == f
+            fwd = FACE_DIRS[f]
+            up = FACE_UPS[f]
+            right = np.cross(fwd, up)
+            dd = d[m]
+            zf = dd @ fwd
+            uf = (dd @ right) / np.maximum(np.abs(zf), 1e-6)
+            vf = (dd @ up) / np.maximum(np.abs(zf), 1e-6)
+            px = np.clip(((uf * 0.5 + 0.5) * face_size).astype(int), 0,
+                         face_size - 1)
+            py = np.clip(((-vf * 0.5 + 0.5) * face_size).astype(int), 0,
+                         face_size - 1)
+            out_img[m] = faces[f][py, px]
+        np.save(path + ".npy", out_img)
+        save_png(path, np.clip(out_img, 0, 1))
+        LOGI("Captured environment probe -> %s (+.npy HDR)", path)
+        # restore
+        self.camera.position, self.camera.rotation = saved[0], saved[1]
+        self.camera.set_fovy(saved[2])
+        self.camera.set_aspect(saved[3])
+        self.swapchain_updated(*old_size)
+
     def post_frame(self) -> None:
         """Application::poll analogue: pump file notifications, asset
         streaming iterate+latch, hot reload (config change -> re-read +
@@ -1449,6 +1531,31 @@ class SceneViewerApplication(Application):
             # (SURVEY §3.4): decode on workers, swap bundle rows in.
             self._scene_arrays["bundles"] = self.packed.streamer.latch()
         self._fs.poll_notifications()
+        if self._kernel_watch:
+            import importlib
+            import os as _os
+            import sys as _sys
+            changed = []
+            for ent in self._kernel_watch:
+                try:
+                    m = _os.path.getmtime(ent[0])
+                except OSError:
+                    continue
+                if m != ent[1]:
+                    ent[1] = m
+                    changed.append(ent[0])
+            if changed:
+                for f in changed:
+                    rel = _os.path.relpath(
+                        f, _os.path.dirname(_os.path.dirname(
+                            _os.path.dirname(_os.path.abspath(__file__)))))
+                    mod_name = rel[:-3].replace(_os.sep, ".")
+                    mod = _sys.modules.get(mod_name)
+                    if mod is not None:
+                        importlib.reload(mod)
+                        LOGI("kernel module reloaded: %s", mod_name)
+                LOGI("kernel sources changed; re-baking render graph")
+                self.swapchain_updated(self.width, self.height)
         if self._reload_config and self._config_path:
             self._reload_config = False
             LOGI("config.json changed; re-baking render graph")

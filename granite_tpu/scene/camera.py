@@ -35,10 +35,23 @@ class Camera:
     def set_aspect(self, aspect: float) -> None:
         self.aspect = aspect
 
+    def set_ortho(self, enabled: bool, xmag: float = 1.0,
+                  ymag: float = 1.0) -> None:
+        """Orthographic projection (glTF cameras.orthographic; muglm
+        reverse-Z ortho)."""
+        self.ortho = enabled
+        self.xmag = xmag
+        self.ymag = ymag
+
     def get_view(self) -> np.ndarray:
         return mat4_cast(self.rotation) @ translate(-self.position)
 
     def get_projection(self) -> np.ndarray:
+        if getattr(self, "ortho", False):
+            from ..math.muglm import ortho as _ortho
+            zf = self.zfar if self.zfar > 0 else 1000.0
+            return _ortho(-self.xmag, self.xmag, -self.ymag, self.ymag,
+                          self.znear, zf)
         return perspective(self.fovy, self.aspect, self.znear,
                            self.zfar if self.zfar > 0 else
                            INFINITE_FAR_PLANE)

@@ -266,6 +266,13 @@ class GLTFParser:
                 cam.aspect = p.get("aspectRatio", 16 / 9)
                 cam.znear = p.get("znear", 0.1)
                 cam.zfar = p.get("zfar", 1000.0)
+            elif c.get("type") == "orthographic":
+                o = c.get("orthographic", {})
+                cam.ortho = True
+                cam.xmag = o.get("xmag", 1.0)
+                cam.ymag = o.get("ymag", 1.0)
+                cam.znear = o.get("znear", 0.1)
+                cam.zfar = o.get("zfar", 1000.0)
             s.cameras.append(cam)
 
         for l in doc.get("extensions", {}).get(

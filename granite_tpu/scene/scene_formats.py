@@ -105,6 +105,9 @@ class CameraData:
     znear: float = 0.1
     zfar: float = 1000.0
     node: Optional[int] = None
+    ortho: bool = False
+    xmag: float = 1.0
+    ymag: float = 1.0
 
 
 @dataclass

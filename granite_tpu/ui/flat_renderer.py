@@ -124,8 +124,14 @@ class FlatRenderer:
         dst[...] = dst * (1 - a) + c * a
 
     def render_text(self, text: str, x: int, y: int,
-                    color=(1, 1, 1, 1), scale: int = 1) -> None:
-        draw_text(self.canvas, text, x, y, color, scale)
+                    color=(1, 1, 1, 1), scale: int = 1,
+                    font=None) -> None:
+        """font: optional ui.font.Font (TTF path, renderer/font.hpp:32);
+        defaults to the built-in 5x7 bitmap glyphs."""
+        if font is not None and font.available:
+            font.render_text(self.canvas, text, x, y, color)
+        else:
+            draw_text(self.canvas, text, x, y, color, scale)
 
     def flush(self) -> np.ndarray:
         """The overlay to composite (device-side alpha blend)."""

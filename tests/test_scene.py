@@ -176,3 +176,32 @@ def test_scene_loader_composition(tmp_path):
     packed = pack_scene(merged)
     assert packed.num_objects == 2 * sum(
         len(n.meshes) for n in info.nodes)
+
+
+def test_obj_to_gltf_roundtrip(tmp_path):
+    """tools/obj_to_gltf (reference tools/obj_to_gltf.cpp): OBJ with
+    materials converts to glTF our parser can reload."""
+    obj = tmp_path / "tri.obj"
+    mtl = tmp_path / "tri.mtl"
+    mtl.write_text(
+        "newmtl red\nKd 0.8 0.1 0.1\nNs 10\n"
+        "newmtl blue\nKd 0.1 0.1 0.9\nd 0.5\n")
+    obj.write_text(
+        "mtllib tri.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 0 1\n"
+        "vn 0 0 1\n"
+        "usemtl red\nf 1/1/1 2/2/1 3/3/1\n"
+        "usemtl blue\nf 2/2/1 4/1/1 3/3/1\n")
+    import sys as _sys
+    _sys.path.insert(0, "tools")
+    import importlib
+    mod = importlib.import_module("obj_to_gltf")
+    out = tmp_path / "tri.gltf"
+    assert mod.main([str(obj), str(out)]) == 0
+    from granite_tpu.scene.gltf import GLTFParser
+    s = GLTFParser(str(out)).get_scene()
+    assert len(s.meshes) == 2
+    assert len(s.materials) == 2
+    assert abs(s.materials[0].base_color_factor[0] - 0.8) < 1e-5
+    assert len(s.meshes[0].positions) == 3

@@ -54,3 +54,22 @@ def test_environment_helpers():
     assert get_environment_int("GRANITE_TEST_INT") == 42
     assert get_environment_bool("GRANITE_TEST_BOOL")
     assert get_environment_int("GRANITE_TEST_MISSING", 7) == 7
+
+
+def test_ttf_font_renders():
+    """ui/font.py (renderer/font.hpp stb_truetype analogue): TTF glyphs
+    blend into the overlay canvas; falls back to bitmap if absent."""
+    import numpy as np
+    from granite_tpu.ui.flat_renderer import FlatRenderer
+    from granite_tpu.ui.font import Font
+    f = Font(size=14)
+    fr = FlatRenderer(128, 32)
+    fr.begin()
+    fr.render_text("Granite", 2, 2, (1, 1, 0, 1), font=f)
+    canvas = fr.flush()
+    assert np.asarray(canvas)[..., 3].max() > 0.5   # something drawn
+    if f.available:
+        # TTF coverage should be denser than a blank canvas and have
+        # antialiased (fractional) alpha somewhere.
+        a = np.asarray(canvas)[..., 3]
+        assert ((a > 0.05) & (a < 0.95)).any()
