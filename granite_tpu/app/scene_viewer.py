@@ -60,6 +60,10 @@ class ViewerConfig:
     ssao: bool = False
     ssr: bool = False
     volumetric_fog: bool = False
+    # Volumetric decals exist but ship disabled in the reference viewer
+    # (set_enable_volumetric_decals(false),
+    # scene_viewer_application.cpp:450); same default here.
+    volumetric_decals: bool = False
     # Texture streaming (the reference ALWAYS streams through its
     # AssetManager; here it is a knob so procedural/benchmark scenes can
     # skip the fallback-latch warmup).  textureBudgetMB bounds resident
@@ -106,6 +110,7 @@ class ViewerConfig:
             "ssao": "ssao",
             "ssr": "ssr",
             "volumetricFog": "volumetric_fog",
+            "volumetricDecals": "volumetric_decals",
             "textureStreaming": "texture_streaming",
             "textureBudgetMB": "texture_budget_mb",
             "renderTargetFp16": "render_target_fp16",
@@ -479,6 +484,8 @@ class SceneViewerApplication(Application):
     CLUSTER_Z_SLICES = 32
     CLUSTER_TILE = 64
     LIGHT_CAPACITY = 32
+    DECAL_CAPACITY = 16
+    DECAL_LAYERS = 2
 
     def swapchain_updated(self, width: int, height: int) -> None:
         super().swapchain_updated(width, height)
@@ -502,6 +509,14 @@ class SceneViewerApplication(Application):
         from ..scene.scene import RENDERABLE_DYNAMIC
         self._has_dynamic_casters = bool(
             (self.packed.obj_flags & RENDERABLE_DYNAMIC).any())
+        self._has_decals = self.config.volumetric_decals and \
+            bool(self.scene.decal_node)
+        if self._has_decals and getattr(self, "_decal_strips", None) \
+                is None:
+            from ..ops.decals import build_decal_strips, builtin_decal_image
+            imgs = getattr(self, "decal_images", None) or \
+                [builtin_decal_image()]
+            self._decal_strips = jnp.asarray(build_decal_strips(imgs))
         zn = max(self.camera.znear, 1e-3)
         zf = self.camera.zfar if self.camera.zfar > 0 else 1000.0
         self._cluster_range = (zn, zf)
@@ -955,8 +970,27 @@ class SceneViewerApplication(Application):
                               p["prev_vp_uv"], p["taa_reproj"],
                               self._rw, self._rh)
 
+    def _apply_decals(self, ctx, surf):
+        """Mix volumetric decals into the resolved base color before
+        lighting (apply_volumetric_decals, volumetric_decal.h:22 — the
+        reference calls it from the fragment shader right after the
+        material fetch)."""
+        if not self._has_decals:
+            return surf
+        from ..ops.decals import apply_decals
+        p = ctx.params
+        base, alpha = apply_decals(
+            surf["base_color"], surf["alpha"], surf["pos"], p["decals"],
+            p["decal_strips"], layers=self.DECAL_LAYERS)
+        out = dict(surf)
+        out["base_color"] = jnp.where(surf["covered"][..., None], base,
+                                      surf["base_color"])
+        out["alpha"] = jnp.where(surf["covered"], alpha, surf["alpha"])
+        return out
+
     def _forward_pass(self, ctx):
         surf, depth = self._raster_surface(ctx)
+        surf = self._apply_decals(ctx, surf)
         color = shade_surface(surf, ctx.params, **self._light_kwargs(ctx))
         color = self._apply_transparent(ctx, color, depth)
         color = self._apply_fog(ctx, color, depth)
@@ -969,6 +1003,7 @@ class SceneViewerApplication(Application):
 
     def _gbuffer_pass(self, ctx):
         surf, depth = self._raster_surface(ctx)
+        surf = self._apply_decals(ctx, surf)
         out = {"g-base": surf["base_color"], "g-normal": surf["normal"],
                "g-pbr": jnp.stack([surf["metallic"], surf["roughness"]],
                                   axis=-1),
@@ -1433,6 +1468,17 @@ class SceneViewerApplication(Application):
         if self.ocean is not None:
             params["ocean_time"] = jnp.float32(
                 elapsed_time % (self.ocean.config.animation_period * 2))
+        if self._has_decals:
+            # Frustum-visible decals only ride the table (the analogue of
+            # the reference's visible_decals gather, clusterer.hpp:123).
+            from ..ops.decals import pack_decals
+            dv = scene.gather_visible_volumetric_decals(
+                self.context.frustum)
+            nodes = np.asarray(scene.decal_node, np.int32)[dv]
+            texs = np.asarray(scene.decal_tex, np.int32)[dv]
+            params["decals"] = pack_decals(world[nodes], texs,
+                                           capacity=self.DECAL_CAPACITY)
+            params["decal_strips"] = self._decal_strips
         if self._has_lights:
             lights = self._collect_lights()
             params["lights"] = lights

@@ -72,6 +72,14 @@ class CastsShadowComponent:
 class DynamicComponent:
     __slots__ = ()
 
+class VolumetricDecalComponent:
+    """renderer/render_components.hpp VolumetricDecalComponent — the
+    entity marker the reference clusterer's decal gather queries."""
+
+    def __init__(self, index: int):
+        self.index = index
+
+
 RENDERABLE_OPAQUE = 1 << 0
 RENDERABLE_TRANSPARENT = 1 << 1
 RENDERABLE_CASTS_SHADOW = 1 << 2
@@ -112,6 +120,12 @@ class Scene:
         self.entity_pool = EntityPool()
         self.node_entity: list = []
         self.renderable_entity: list = []
+        # Volumetric decals (scene.cpp:1059 create_volumetric_decal):
+        # each is a unit box [-0.5, 0.5]^3 on a node, with a texture id
+        # resolved by the app's decal strip array.
+        self.decal_node: list[int] = []
+        self.decal_tex: list[int] = []
+        self.decal_entity: list = []
 
     # -- node management --------------------------------------------------------
     def _grow_nodes(self) -> None:
@@ -259,6 +273,35 @@ class Scene:
             e.allocate_component(DynamicComponent)
         self.renderable_entity.append(e)
         return RenderableHandle(n)
+
+    # -- volumetric decals (scene.cpp:1059, scene.cpp:400) -----------------------
+    def create_volumetric_decal(self, node: int, tex_id: int = 0) -> int:
+        """Attach a unit-box decal volume to `node`
+        (Scene::create_volumetric_decal, renderer/scene.cpp:1059).  The
+        node's world transform maps the box into the scene; tex_id
+        indexes the app's decal strip array (the reference's
+        builtin://textures/decal.png asset, decal_volume.cpp:32)."""
+        idx = len(self.decal_node)
+        self.decal_node.append(node)
+        self.decal_tex.append(tex_id)
+        e = self.entity_pool.create_entity()
+        e.allocate_component(VolumetricDecalComponent, idx)
+        e.allocate_component(TransformComponent, node)
+        self.decal_entity.append(e)
+        return idx
+
+    def gather_visible_volumetric_decals(self, frustum) -> np.ndarray:
+        """Frustum-visible decal indices
+        (Scene::gather_visible_volumetric_decals, scene.cpp:400) — world
+        AABBs of the transformed unit boxes vs the frustum planes."""
+        if not self.decal_node:
+            return np.zeros(0, np.int32)
+        w = self.world[np.asarray(self.decal_node, np.int32)]
+        mn, mx = transform_aabbs(
+            w, np.full((len(self.decal_node), 3), -0.5, np.float32),
+            np.full((len(self.decal_node), 3), 0.5, np.float32))
+        vis = frustum_cull(frustum.planes, mn, mx)
+        return np.nonzero(vis)[0].astype(np.int32)
 
     # -- visibility queries (scene.hpp:133-163 gather_visible_*) -----------------
     def _gather(self, planes, flag_mask: int) -> np.ndarray:
