@@ -64,6 +64,12 @@ class ViewerConfig:
     # (set_enable_volumetric_decals(false),
     # scene_viewer_application.cpp:450); same default here.
     volumetric_decals: bool = False
+    # Volumetric diffuse GI likewise ships hard-disabled
+    # (`if (false && config.volumetric_diffuse)`,
+    # scene_viewer_application.cpp:300); off by default.
+    volumetric_diffuse: bool = False
+    volumetric_diffuse_resolution: int = 8      # probe grid X (Y/Z scale)
+    volumetric_diffuse_face_resolution: int = 8  # bake cube-face px
     # Texture streaming (the reference ALWAYS streams through its
     # AssetManager; here it is a knob so procedural/benchmark scenes can
     # skip the fallback-latch warmup).  textureBudgetMB bounds resident
@@ -111,6 +117,10 @@ class ViewerConfig:
             "ssr": "ssr",
             "volumetricFog": "volumetric_fog",
             "volumetricDecals": "volumetric_decals",
+            "volumetricDiffuse": "volumetric_diffuse",
+            "volumetricDiffuseResolution": "volumetric_diffuse_resolution",
+            "volumetricDiffuseFaceResolution":
+                "volumetric_diffuse_face_resolution",
             "textureStreaming": "texture_streaming",
             "textureBudgetMB": "texture_budget_mb",
             "renderTargetFp16": "render_target_fp16",
@@ -511,6 +521,9 @@ class SceneViewerApplication(Application):
             (self.packed.obj_flags & RENDERABLE_DYNAMIC).any())
         self._has_decals = self.config.volumetric_decals and \
             bool(self.scene.decal_node)
+        self._vol_diffuse = None
+        if self.config.volumetric_diffuse:
+            self._bake_diffuse_volumes()
         if self._has_decals and getattr(self, "_decal_strips", None) \
                 is None:
             from ..ops.decals import build_decal_strips, builtin_decal_image
@@ -945,7 +958,8 @@ class SceneViewerApplication(Application):
                   pcf_wide=self.config.pcf_kernel_wide,
                   env={"strips": p["env_strips"], "sh": p["env_sh"],
                        "levels": self.environment.num_levels,
-                       "sky_params": self.environment.sky_params})
+                       "sky_params": self.environment.sky_params},
+                  vol_diffuse=self._vol_diffuse)
         if self._has_lights:
             zn, zf = self._cluster_range
             cs = None
@@ -969,6 +983,91 @@ class SceneViewerApplication(Application):
         return motion_vectors(surf["prev_pos"], surf["covered"], depth,
                               p["prev_vp_uv"], p["taa_reproj"],
                               self._rw, self._rh)
+
+    def _bake_diffuse_volumes(self):
+        """Bake ambient-cube probe grids for every diffuse volume in the
+        scene (VolumetricDiffuseLightManager::refresh analogue, done
+        once at graph (re)bake instead of incrementally over frame
+        layers).  With no volume declared, one is created over the scene
+        bounds like the reference viewer's block at
+        scene_viewer_application.cpp:300-309."""
+        from ..renderer.volumetric_diffuse import (
+            FACE_DIRS, FACE_DV, bake_volume, fallback_cube_from_sky,
+        )
+        from ..renderer.environment import sample_environment
+        from ..math.muglm import look_at_matrix, perspective
+        from ..renderer.scene_renderer import (
+            rasterize_scene, shade_surface, surface_attributes,
+            transform_vertices,
+        )
+        scene = self.scene
+        if not scene.diffuse_volume_node:
+            mn = scene.r_world_min.min(axis=0)
+            mx = scene.r_world_max.max(axis=0)
+            c = 0.5 * (mn + mx)
+            ext = np.maximum(mx - mn, 1e-3) * 1.1
+            node = scene.create_node(translation=c, scale=ext)
+            rx = int(self.config.volumetric_diffuse_resolution)
+            rel = ext / ext.max()
+            res = tuple(max(int(round(rx * r)), 2) for r in rel)
+            scene.create_volumetric_diffuse_light(res, node)
+            scene.update_transform_tree()
+
+        packed = self.packed.with_arrays(self._scene_arrays)
+        n = scene.num_nodes
+        world = jnp.asarray(scene.world[:n])
+        nmats = jnp.asarray(np.linalg.inv(
+            scene.world[:n, :3, :3]).transpose(0, 2, 1).astype(np.float32))
+        mask = jnp.asarray(
+            (self.packed.obj_flags & 1) != 0)          # opaque objects
+        fr = int(self.config.volumetric_diffuse_face_resolution)
+        proj = perspective(np.pi / 2, 1.0, 0.05)   # infinite far
+        env = {"strips": self.environment.strips, "sh": self.environment.sh,
+               "levels": self.environment.num_levels,
+               "sky_params": self.environment.sky_params}
+        self._sun_dir_j = jnp.asarray(self._sun_dir)
+        self._sun_color_j = jnp.asarray(self._sun_color)
+
+        @jax.jit
+        def render_face(view_proj, inv_vp, cam_pos):
+            clip, wpos, wnrm, wtan = transform_vertices(
+                packed, world, nmats, view_proj)
+            setup, depth, tri = rasterize_scene(packed, clip, mask, fr, fr,
+                                                use_binned=False)
+            surf = surface_attributes(packed, setup, tri, wpos, wnrm,
+                                      wtan, fr, fr)
+            params = {"camera_pos": cam_pos, "sun_dir": self._sun_dir_j,
+                      "sun_color": self._sun_color_j,
+                      "inv_view_proj": inv_vp}
+            return shade_surface(surf, params, width=fr, height=fr,
+                                 env=env)
+
+        def render_fn(pos, face):
+            view = look_at_matrix(pos, pos + FACE_DIRS[face],
+                                  -FACE_DV[face])
+            vp = (proj @ view).astype(np.float32)
+            return render_face(jnp.asarray(vp),
+                               jnp.asarray(np.linalg.inv(vp)
+                                           .astype(np.float32)),
+                               jnp.asarray(pos))
+
+        volumes = []
+        for node, res in zip(scene.diffuse_volume_node,
+                             scene.diffuse_volume_res):
+            volumes.append(bake_volume(render_fn, scene.world[node], res,
+                                       face_res=fr))
+
+        def sky(dirs):
+            from ..renderer.environment import analytic_sky
+            if self.environment.sky_params:
+                return analytic_sky(dirs, **self.environment.sky_params)
+            return sample_environment(self.environment.strips, dirs,
+                                      jnp.zeros(dirs.shape[:-1]))
+
+        self._vol_diffuse = {"volumes": volumes,
+                             "fallback": fallback_cube_from_sky(sky)}
+        LOGI("Baked %d volumetric diffuse volume(s), probe res %s",
+             len(volumes), scene.diffuse_volume_res)
 
     def _apply_decals(self, ctx, surf):
         """Mix volumetric decals into the resolved base color before

@@ -689,7 +689,7 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
                   background=None, pcf_wide: bool = False,
                   z_near: float = 0.1, z_far: float = 1000.0,
                   cluster_tile: int = 64, env=None,
-                  cluster_shadows=None, ao=None):
+                  cluster_shadows=None, ao=None, vol_diffuse=None):
     """Lighting from resolved surface attributes: directional + shadow +
     clustered positional lights + emissive (lighting.h compute_lighting +
     compute_cluster_light).  Used by both forward and deferred paths —
@@ -732,10 +732,21 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
         base = surf["base_color"]
         metal = surf["metallic"]
         rough = surf["roughness"]
-        irr = jnp.maximum(eval_sh9(env["sh"], n), 0.0)
         ambient_occ = 1.0 if ao is None else ao[..., None]
-        color = color + irr / jnp.pi * base * (1.0 - metal[..., None]) \
-            * ambient_occ
+        if vol_diffuse is not None:
+            # Volumetric diffuse GI replaces the SH sky-irradiance
+            # diffuse term (lighting.h:56 material_ambient_factor *
+            # compute_volumetric_diffuse_metallic; the probes already
+            # carry the lambertian 1/PI, volumetric_diffuse.h:151).
+            from .volumetric_diffuse import sample_volumetric_diffuse
+            irr_vd = sample_volumetric_diffuse(
+                vol_diffuse["volumes"], pos, n, vol_diffuse["fallback"])
+            color = color + irr_vd * base * (1.0 - metal[..., None]) \
+                * ambient_occ
+        else:
+            irr = jnp.maximum(eval_sh9(env["sh"], n), 0.0)
+            color = color + irr / jnp.pi * base \
+                * (1.0 - metal[..., None]) * ambient_occ
         v = params["camera_pos"] - pos
         v = v / jnp.sqrt(jnp.maximum((v * v).sum(-1,
                                                  keepdims=True), 1e-20))

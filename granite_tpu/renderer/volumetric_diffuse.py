@@ -93,8 +93,8 @@ def face_solid_angle_weights(res: int):
     cu, cv = np.meshgrid(uv, uv, indexing="xy")
     dirs = (FACE_DIRS[:, None, None] + FACE_DU[:, None, None] * cu[..., None]
             + FACE_DV[:, None, None] * cv[..., None])
-    l2 = (dirs * dirs).sum(-1)
-    inv_l = 1.0 / np.sqrt(l2)
+    # |n| = sqrt(1 + u^2 + v^2) is face-independent: area is (R, R).
+    inv_l = 1.0 / np.sqrt(1.0 + cu * cu + cv * cv)
     area = (4.0 / (res * res)) * inv_l ** 3
     return dirs.astype(np.float32), area.astype(np.float32)
 
@@ -152,11 +152,11 @@ def _trilerp_packed(packed_face, lx, ly, lz, resolution):
     x0 = jnp.clip(jnp.floor(x), 0, rx - 1).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(y), 0, ry - 1).astype(jnp.int32)
     z0 = jnp.clip(jnp.floor(z), 0, rz - 1).astype(jnp.int32)
-    fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
-    fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+    fx = jnp.clip(x - x0, 0.0, 1.0)[..., None, None, None]
+    fy = jnp.clip(y - y0, 0.0, 1.0)[..., None, None]
     fz = jnp.clip(z - z0, 0.0, 1.0)[..., None]
     oct = packed_face[z0, y0, x0]                # (..., 24) ONE gather
-    c = oct.reshape(oct.shape[:-1] + (2, 2, 2, 3))
+    c = oct.reshape(oct.shape[:-1] + (2, 2, 2, 3))   # (..., dz, dy, dx, 3)
     cx = c[..., 0, :] * (1 - fx) + c[..., 1, :] * fx        # over dx
     cy = cx[..., 0, :] * (1 - fy) + cx[..., 1, :] * fy      # over dy
     return cy[..., 0, :] * (1 - fz) + cy[..., 1, :] * fz    # over dz

@@ -72,6 +72,14 @@ class CastsShadowComponent:
 class DynamicComponent:
     __slots__ = ()
 
+class VolumetricDiffuseLightComponent:
+    """render_components.hpp VolumetricDiffuseLightComponent — a probe
+    grid volume over the node's unit box."""
+
+    def __init__(self, index: int):
+        self.index = index
+
+
 class VolumetricDecalComponent:
     """renderer/render_components.hpp VolumetricDecalComponent — the
     entity marker the reference clusterer's decal gather queries."""
@@ -126,6 +134,11 @@ class Scene:
         self.decal_node: list[int] = []
         self.decal_tex: list[int] = []
         self.decal_entity: list = []
+        # Volumetric diffuse GI volumes (scene.cpp create_volumetric_
+        # diffuse_light): (node, (X, Y, Z) probe resolution).
+        self.diffuse_volume_node: list[int] = []
+        self.diffuse_volume_res: list[tuple] = []
+        self.diffuse_volume_entity: list = []
 
     # -- node management --------------------------------------------------------
     def _grow_nodes(self) -> None:
@@ -288,6 +301,20 @@ class Scene:
         e.allocate_component(VolumetricDecalComponent, idx)
         e.allocate_component(TransformComponent, node)
         self.decal_entity.append(e)
+        return idx
+
+    def create_volumetric_diffuse_light(self, resolution, node: int) -> int:
+        """Attach an ambient-cube probe grid volume to `node`
+        (Scene::create_volumetric_diffuse_light; the reference viewer
+        creates one scaled (32, 8, 32) over the scene,
+        scene_viewer_application.cpp:300-309)."""
+        idx = len(self.diffuse_volume_node)
+        self.diffuse_volume_node.append(node)
+        self.diffuse_volume_res.append(tuple(int(r) for r in resolution))
+        e = self.entity_pool.create_entity()
+        e.allocate_component(VolumetricDiffuseLightComponent, idx)
+        e.allocate_component(TransformComponent, node)
+        self.diffuse_volume_entity.append(e)
         return idx
 
     def gather_visible_volumetric_decals(self, frustum) -> np.ndarray:
