@@ -556,11 +556,18 @@ class SceneViewerApplication(Application):
         # string-keyed AA selection).
         from ..ops import taa as TAA
         aa = self.config.post_aa
+        self._use_fsr2 = aa == "taaFSR2"
         self._use_taa = aa in ("taa", "taa-extreme", "smaaT2X",
-                               "fxaa2phase")
+                               "fxaa2phase") or self._use_fsr2
         self._use_fxaa = aa in ("fxaa", "fxaa2phase")
         self._use_smaa = aa in ("smaa", "smaaT2X")
-        if self._use_taa:
+        if self._use_fsr2:
+            # FSR2-style temporal upscale (aa.cpp:281 "taaFSR2"): render
+            # at resolutionScale, accumulate to display res.
+            from ..ops.fsr2 import fsr2_jitter_phases
+            phases = fsr2_jitter_phases(self._rw, width)
+            self._jitter = TAA.TemporalJitter(phases, self._rw, self._rh)
+        elif self._use_taa:
             phases = {"taa": TAA.JITTER_TAA_8PHASE,
                       "taa-extreme": TAA.JITTER_TAA_16PHASE,
                       "smaaT2X": TAA.JITTER_SMAA_T2X,
@@ -699,7 +706,30 @@ class SceneViewerApplication(Application):
         if self.config.renderer == "deferred" and self.config.ssr:
             hdr_name = "hdr-ssr"
         self._lit_name = hdr_name
-        if self._use_taa:
+        post_rel, post_rel_rt = rel, rel_rt
+        if self._use_fsr2:
+            # FSR2-style temporal upscale to DISPLAY res
+            # (temporal.hpp:91 setup_fsr2_pass); everything downstream
+            # (bloom, tonemap) runs at display res like the reference.
+            def rel_d(scale, channels, dtype=jnp.float32):
+                return AttachmentInfo(SizeClass.SWAPCHAIN_RELATIVE, scale,
+                                      scale, channels=channels,
+                                      dtype=dtype)
+
+            def rel_d_rt(scale, channels):
+                return rel_d(scale, channels, rt_dtype)
+
+            post_rel, post_rel_rt = rel_d, rel_d_rt
+            g.add_pass("fsr2-upscale", Queue.GRAPHICS) \
+                .add_texture_input(hdr_name) \
+                .add_texture_input("depth-main") \
+                .add_texture_input("mv") \
+                .add_history_input("fsr2-history") \
+                .add_color_output("hdr-resolved", rel_d_rt(1, 3)) \
+                .add_color_output("fsr2-history", rel_d_rt(1, 4)) \
+                .set_execute(self._fsr2_pass)
+            hdr_name = "hdr-resolved"
+        elif self._use_taa:
             # TAA resolve before the HDR chain (taa_resolve.frag);
             # history carried in TAA color space.
             g.add_pass("taa-resolve", Queue.GRAPHICS) \
@@ -714,7 +744,7 @@ class SceneViewerApplication(Application):
         self._hdr_name = hdr_name
 
         if self.config.hdr_bloom:
-            self._add_hdr_chain(g, rel, hdr_name, rel_rt)
+            self._add_hdr_chain(g, post_rel, hdr_name, post_rel_rt)
 
         self._ldr_aa = self._use_fxaa or self._use_smaa
         ldr_target = "ldr" if self._ldr_aa else "backbuffer"
@@ -1192,6 +1222,14 @@ class SceneViewerApplication(Application):
             self._rw, self._rh, mv=ctx.input("mv"))
         return {"hdr-resolved": out, "taa-history": hist}
 
+    def _fsr2_pass(self, ctx):
+        from ..ops.fsr2 import fsr2_upscale
+        out, hist = fsr2_upscale(
+            ctx.input(self._lit_name), ctx.input("depth-main"),
+            ctx.input("mv"), ctx.history("fsr2-history"),
+            ctx.params["fsr2_jitter"], self.height, self.width)
+        return {"hdr-resolved": out, "fsr2-history": hist}
+
     def _fxaa_pass(self, ctx):
         from ..ops.fxaa import fxaa
         h, w = ctx.backbuffer_size()
@@ -1564,6 +1602,9 @@ class SceneViewerApplication(Application):
             params["obj_world_max"] = jnp.asarray(scene.r_world_max)
         if taa_reproj is not None:
             params["taa_reproj"] = jnp.asarray(taa_reproj)
+        if self._use_fsr2:
+            params["fsr2_jitter"] = jnp.asarray(
+                self._jitter.last_jitter_uv())
         if self.ocean is not None:
             params["ocean_time"] = jnp.float32(
                 elapsed_time % (self.ocean.config.animation_period * 2))

@@ -60,6 +60,12 @@ class TemporalJitter:
         self.phase += 1
         return jittered
 
+    def last_jitter_uv(self) -> np.ndarray:
+        """The jitter used by the LAST step(), in UV units (NDC offset
+        2*o/size maps to o/size in [0,1] UV space)."""
+        ox, oy = self.phases[(self.phase - 1) % len(self.phases)]
+        return np.array([ox / self.width, oy / self.height], np.float32)
+
     def reproject_matrix(self) -> np.ndarray:
         """registers.reproj: current NDC (x,y,z,1) -> previous-frame UV
         (after xy/w), i.e. uv_remap @ prevVP @ inv(curVP)."""

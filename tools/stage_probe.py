@@ -118,6 +118,22 @@ def main():
         timeit("resolve (vis->surface)", res_fn, setup, tri, wpos, wnrm,
                wtan, k=args.k)
 
+    if on("fused"):
+        # The production TPU path: fused Pallas raster+resolve
+        # (ops/raster_fused.py) + the material texture tail.
+        fused_fn = jax.jit(lambda c, m, a, b, t_: SR.fused_raster_surface(
+            scene, c, m, a, b, t_, W, H))
+        fused_fn(clip, om, wpos, wnrm, wtan)
+        timeit("FUSED raster+resolve", fused_fn, clip, om, wpos, wnrm,
+               wtan, k=args.k)
+
+    if on("frame"):
+        step = app.graph._step
+        frame_fn = jax.jit(lambda p, h: step(p, h)[0])
+        frame_fn(params, history)
+        timeit("FULL frame (graph step)", frame_fn, params, history,
+               k=args.k)
+
     shadow_size = app.config.shadow_map_resolution
     shadow_fn = jax.jit(lambda w, m: SR.render_shadow_map(
         scene, w, params["shadow_vp"], shadow_size, m))
