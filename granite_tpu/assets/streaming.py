@@ -59,10 +59,21 @@ class ImageInstantiator(AssetInstantiatorInterface):
             # Compressed runtime container (gltf_repacker output): BCn
             # payload decoded by the native codec (texture_decoder.cpp
             # analogue).
-            from ..native import decode_blocks, gtpx_load
+            from ..native import decode_blocks, decode_bc6h, gtpx_load
             try:
                 fmt, w, h, _levels, _flags, payload = gtpx_load(
                     src + ".gtpx")
+                if fmt in ("bc6h", "bc6h_s"):
+                    # HDR float path: bypass the u8/sRGB conversion.
+                    hdr = decode_bc6h(np.frombuffer(payload, np.uint8),
+                                      w, h, signed=fmt == "bc6h_s")
+                    linear = np.concatenate(
+                        [hdr, np.ones_like(hdr[..., :1])], axis=-1)
+                    s = self.base_size
+                    if linear.shape[0] != s or linear.shape[1] != s:
+                        from .texture_array import _resize_bilinear
+                        linear = _resize_bilinear(linear, s, s)
+                    return linear.astype(np.float32), linear.nbytes
                 if fmt != "rgba8":
                     img_u8 = decode_blocks(
                         fmt, np.frombuffer(payload, np.uint8), w, h)

@@ -65,6 +65,9 @@ def get_lib() -> ctypes.CDLL:
                                    i32p, ctypes.POINTER(ctypes.c_int),
                                    ctypes.POINTER(ctypes.c_int)]
     lib.meshlet_decode.restype = ctypes.c_int
+    lib.decode_bc6h.argtypes = [u8p, f32p, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_int]
+    lib.decode_bc6h.restype = None
     lib.radix_sort_u64.argtypes = [u64p, u32p, ctypes.c_int]
     lib.radix_sort_u64.restype = None
     lib.gtpx_write_header.argtypes = [u8p] + [ctypes.c_uint32] * 5
@@ -97,6 +100,19 @@ def decode_blocks(fmt: str, data: np.ndarray, width: int,
                        1 if fmt == "eac_r11" else 2)
     else:
         getattr(lib, f"decode_{fmt}")(_u8(data), _u8(out), width, height)
+    return out
+
+
+def decode_bc6h(data: np.ndarray, width: int, height: int,
+                signed: bool = False) -> np.ndarray:
+    """Decode BC6H (UF16/SF16) to (H, W, 3) float32 linear HDR
+    (texture_decoder.cpp BC6H rows)."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty((height, width, 3), np.float32)
+    lib.decode_bc6h(_u8(data),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    width, height, 1 if signed else 0)
     return out
 
 
@@ -161,7 +177,8 @@ def radix_sort_u64(keys: np.ndarray) -> np.ndarray:
 
 GTPX_FORMATS = {"rgba8": 0, "bc1": 1, "bc3": 3, "bc4": 4,
                 "bc5": 5, "bc7": 7, "etc2": 8, "etc2a": 9,
-                "etc2p": 10, "eac_r11": 11, "eac_rg11": 12}
+                "etc2p": 10, "eac_r11": 11, "eac_rg11": 12,
+                "bc6h": 13, "bc6h_s": 14}
 
 
 def gtpx_save(path: str, payload: bytes, fmt: str, width: int, height: int,

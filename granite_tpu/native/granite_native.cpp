@@ -928,3 +928,298 @@ void decode_bc7(const uint8_t *src, uint8_t *dst, int width, int height) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BC6H (HDR RGB half-float) decoder — reference parity target:
+// vulkan/texture/texture_decoder.cpp:30-120 + assets/shaders/decode (the
+// reference decodes BC6H via its compute path); bit layouts follow the
+// D3D11.3 functional spec 19.5 (the same public tables every decoder
+// ships).  Field names: [rgb][wxyz] = subset0 e0/e1, subset1 e0/e1.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct B6Reader { const uint8_t *p; int bit; };
+
+static inline uint32_t b6(B6Reader *r, int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) {
+        v |= (uint32_t)((r->p[r->bit >> 3] >> (r->bit & 7)) & 1) << i;
+        r->bit++;
+    }
+    return v;
+}
+
+static inline int b6_sext(int v, int bits) {
+    return (v & (1 << (bits - 1))) ? v - (1 << bits) : v;
+}
+
+// Unquantize to the 17-bit intermediate (D3D11.3 19.5.7).
+static int b6_unq_unsigned(int v, int bits) {
+    if (bits >= 15) return v;
+    if (v == 0) return 0;
+    if (v == (1 << bits) - 1) return 0xFFFF;
+    return ((v << 15) + 0x4000) >> (bits - 1);
+}
+
+static int b6_unq_signed(int v, int bits) {
+    if (bits >= 16) return v;
+    int s = 0;
+    if (v < 0) { v = -v; s = 1; }
+    int out;
+    if (v == 0) out = 0;
+    else if (v >= (1 << (bits - 1)) - 1) out = 0x7FFF;
+    else out = ((v << 15) + 0x4000) >> (bits - 1);
+    return s ? -out : out;
+}
+
+static float b6_half_to_float(uint16_t h) {
+    uint32_t sign = (uint32_t)(h >> 15) << 31;
+    uint32_t exp = (h >> 10) & 0x1F;
+    uint32_t man = h & 0x3FF;
+    uint32_t bits;
+    if (exp == 0) {
+        if (man == 0) {
+            bits = sign;
+        } else {
+            exp = 127 - 15 + 1;
+            while (!(man & 0x400)) { man <<= 1; exp--; }
+            man &= 0x3FF;
+            bits = sign | (exp << 23) | (man << 13);
+        }
+    } else if (exp == 31) {
+        bits = sign | 0x7F800000u | (man << 13);
+    } else {
+        bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+    }
+    float f;
+    memcpy(&f, &bits, 4);
+    return f;
+}
+
+// Decode one 128-bit block to 16 RGB float pixels.
+static void decode_bc6h_block(const uint8_t *blk, float out[16][3],
+                              int is_signed) {
+    B6Reader r = {blk, 0};
+    int e[4][3] = {};     // [w/x/y/z][r/g/b]
+    int epb = 0, db[3] = {0, 0, 0};
+    int transformed = 1, two = 1, bad = 0;
+    int mode = (int)b6(&r, 2);
+    if (mode >= 2) mode |= (int)b6(&r, 3) << 2;
+
+#define RD(f, c, n, sh) e[f][c] |= (int)b6(&r, n) << (sh)
+    switch (mode) {
+    case 0x00:  // 10.555
+        epb = 10; db[0] = db[1] = db[2] = 5;
+        RD(2,1,1,4); RD(2,2,1,4); RD(3,2,1,4);
+        RD(0,0,10,0); RD(0,1,10,0); RD(0,2,10,0);
+        RD(1,0,5,0); RD(3,1,1,4); RD(2,1,4,0);
+        RD(1,1,5,0); RD(3,2,1,0); RD(3,1,4,0);
+        RD(1,2,5,0); RD(3,2,1,1); RD(2,2,4,0);
+        RD(2,0,5,0); RD(3,2,1,2);
+        RD(3,0,5,0); RD(3,2,1,3);
+        break;
+    case 0x01:  // 7.666
+        epb = 7; db[0] = db[1] = db[2] = 6;
+        RD(2,1,1,5); RD(3,1,1,4); RD(3,1,1,5);
+        RD(0,0,7,0); RD(3,2,1,0); RD(3,2,1,1); RD(2,2,1,4);
+        RD(0,1,7,0); RD(2,2,1,5); RD(3,2,1,2); RD(2,1,1,4);
+        RD(0,2,7,0); RD(3,2,1,3); RD(3,2,1,5); RD(3,2,1,4);
+        RD(1,0,6,0); RD(2,1,4,0);
+        RD(1,1,6,0); RD(3,1,4,0);
+        RD(1,2,6,0); RD(2,2,4,0);
+        RD(2,0,6,0); RD(3,0,6,0);
+        break;
+    case 0x02:  // 11.544
+        epb = 11; db[0] = 5; db[1] = 4; db[2] = 4;
+        RD(0,0,10,0); RD(0,1,10,0); RD(0,2,10,0);
+        RD(1,0,5,0); RD(0,0,1,10); RD(2,1,4,0);
+        RD(1,1,4,0); RD(0,1,1,10); RD(3,2,1,0); RD(3,1,4,0);
+        RD(1,2,4,0); RD(0,2,1,10); RD(3,2,1,1); RD(2,2,4,0);
+        RD(2,0,5,0); RD(3,2,1,2);
+        RD(3,0,5,0); RD(3,2,1,3);
+        break;
+    case 0x06:  // 11.454
+        epb = 11; db[0] = 4; db[1] = 5; db[2] = 4;
+        RD(0,0,10,0); RD(0,1,10,0); RD(0,2,10,0);
+        RD(1,0,4,0); RD(0,0,1,10); RD(3,1,1,4); RD(2,1,4,0);
+        RD(1,1,5,0); RD(0,1,1,10); RD(3,1,4,0);
+        RD(1,2,4,0); RD(0,2,1,10); RD(3,2,1,1); RD(2,2,4,0);
+        RD(2,0,4,0); RD(3,2,1,0); RD(3,2,1,2);
+        RD(3,0,4,0); RD(2,1,1,4); RD(3,2,1,3);
+        break;
+    case 0x0A:  // 11.445
+        epb = 11; db[0] = 4; db[1] = 4; db[2] = 5;
+        RD(0,0,10,0); RD(0,1,10,0); RD(0,2,10,0);
+        RD(1,0,4,0); RD(0,0,1,10); RD(2,2,1,4); RD(2,1,4,0);
+        RD(1,1,4,0); RD(0,1,1,10); RD(3,1,1,4); RD(3,1,4,0);
+        RD(1,2,5,0); RD(0,2,1,10); RD(2,2,4,0);
+        RD(2,0,4,0); RD(3,2,1,0); RD(3,2,1,2);
+        RD(3,0,4,0); RD(3,2,1,1); RD(3,2,1,3);
+        break;
+    case 0x0E:  // 9.555
+        epb = 9; db[0] = db[1] = db[2] = 5;
+        RD(0,0,9,0); RD(2,2,1,4);
+        RD(0,1,9,0); RD(2,1,1,4);
+        RD(0,2,9,0); RD(3,2,1,4);
+        RD(1,0,5,0); RD(3,1,1,4); RD(2,1,4,0);
+        RD(1,1,5,0); RD(3,2,1,0); RD(3,1,4,0);
+        RD(1,2,5,0); RD(3,2,1,1); RD(2,2,4,0);
+        RD(2,0,5,0); RD(3,2,1,2);
+        RD(3,0,5,0); RD(3,2,1,3);
+        break;
+    case 0x12:  // 8.655
+        epb = 8; db[0] = 6; db[1] = 5; db[2] = 5;
+        RD(0,0,8,0); RD(3,1,1,4); RD(2,2,1,4);
+        RD(0,1,8,0); RD(3,2,1,2); RD(2,1,1,4);
+        RD(0,2,8,0); RD(3,2,1,3); RD(3,2,1,4);
+        RD(1,0,6,0); RD(2,1,4,0);
+        RD(1,1,5,0); RD(3,2,1,0); RD(3,1,4,0);
+        RD(1,2,5,0); RD(3,2,1,1); RD(2,2,4,0);
+        RD(2,0,6,0); RD(3,0,6,0);
+        break;
+    case 0x16:  // 8.565
+        epb = 8; db[0] = 5; db[1] = 6; db[2] = 5;
+        RD(0,0,8,0); RD(3,2,1,0); RD(2,2,1,4);
+        RD(0,1,8,0); RD(2,1,1,5); RD(2,1,1,4);
+        RD(0,2,8,0); RD(3,1,1,5); RD(3,2,1,4);
+        RD(1,0,5,0); RD(3,1,1,4); RD(2,1,4,0);
+        RD(1,1,6,0); RD(3,1,4,0);
+        RD(1,2,5,0); RD(3,2,1,1); RD(2,2,4,0);
+        RD(2,0,5,0); RD(3,2,1,2);
+        RD(3,0,5,0); RD(3,2,1,3);
+        break;
+    case 0x1A:  // 8.556
+        epb = 8; db[0] = 5; db[1] = 5; db[2] = 6;
+        RD(0,0,8,0); RD(3,2,1,1); RD(2,2,1,4);
+        RD(0,1,8,0); RD(2,2,1,5); RD(2,1,1,4);
+        RD(0,2,8,0); RD(3,2,1,5); RD(3,2,1,4);
+        RD(1,0,5,0); RD(3,1,1,4); RD(2,1,4,0);
+        RD(1,1,5,0); RD(3,2,1,0); RD(3,1,4,0);
+        RD(1,2,6,0); RD(2,2,4,0);
+        RD(2,0,5,0); RD(3,2,1,2);
+        RD(3,0,5,0); RD(3,2,1,3);
+        break;
+    case 0x1E:  // 6.666, untransformed
+        epb = 6; db[0] = db[1] = db[2] = 6; transformed = 0;
+        RD(0,0,6,0); RD(3,1,1,4); RD(3,2,1,0); RD(3,2,1,1); RD(2,2,1,4);
+        RD(0,1,6,0); RD(2,1,1,5); RD(2,2,1,5); RD(3,2,1,2); RD(2,1,1,4);
+        RD(0,2,6,0); RD(3,1,1,5); RD(3,2,1,3); RD(3,2,1,5); RD(3,2,1,4);
+        RD(1,0,6,0); RD(2,1,4,0);
+        RD(1,1,6,0); RD(3,1,4,0);
+        RD(1,2,6,0); RD(2,2,4,0);
+        RD(2,0,6,0); RD(3,0,6,0);
+        break;
+    case 0x03:  // 10.10 one subset, untransformed
+        epb = 10; db[0] = db[1] = db[2] = 10; transformed = 0; two = 0;
+        RD(0,0,10,0); RD(0,1,10,0); RD(0,2,10,0);
+        RD(1,0,10,0); RD(1,1,10,0); RD(1,2,10,0);
+        break;
+    case 0x07:  // 11.9 one subset
+        epb = 11; db[0] = db[1] = db[2] = 9; two = 0;
+        RD(0,0,10,0); RD(0,1,10,0); RD(0,2,10,0);
+        RD(1,0,9,0); RD(0,0,1,10);
+        RD(1,1,9,0); RD(0,1,1,10);
+        RD(1,2,9,0); RD(0,2,1,10);
+        break;
+    case 0x0B:  // 12.8 one subset (extension bits MSB-first)
+        epb = 12; db[0] = db[1] = db[2] = 8; two = 0;
+        RD(0,0,10,0); RD(0,1,10,0); RD(0,2,10,0);
+        RD(1,0,8,0); RD(0,0,1,11); RD(0,0,1,10);
+        RD(1,1,8,0); RD(0,1,1,11); RD(0,1,1,10);
+        RD(1,2,8,0); RD(0,2,1,11); RD(0,2,1,10);
+        break;
+    case 0x0F:  // 16.4 one subset (extension bits MSB-first)
+        epb = 16; db[0] = db[1] = db[2] = 4; two = 0;
+        RD(0,0,10,0); RD(0,1,10,0); RD(0,2,10,0);
+        RD(1,0,4,0); RD(0,0,1,15); RD(0,0,1,14); RD(0,0,1,13);
+        RD(0,0,1,12); RD(0,0,1,11); RD(0,0,1,10);
+        RD(1,1,4,0); RD(0,1,1,15); RD(0,1,1,14); RD(0,1,1,13);
+        RD(0,1,1,12); RD(0,1,1,11); RD(0,1,1,10);
+        RD(1,2,4,0); RD(0,2,1,15); RD(0,2,1,14); RD(0,2,1,13);
+        RD(0,2,1,12); RD(0,2,1,11); RD(0,2,1,10);
+        break;
+    default:
+        bad = 1;   // reserved mode: all-zero block (spec behavior)
+        break;
+    }
+#undef RD
+    if (bad) {
+        for (int i = 0; i < 16; i++)
+            out[i][0] = out[i][1] = out[i][2] = 0.0f;
+        return;
+    }
+
+    int partition = two ? (int)b6(&r, 5) : 0;
+    int nep = two ? 4 : 2;
+    int mask = (1 << epb) - 1;
+    for (int c = 0; c < 3; c++) {
+        if (is_signed || transformed) {
+            // Base always sign-extends in signed mode; deltas are
+            // two's complement at their field width.
+            if (is_signed) e[0][c] = b6_sext(e[0][c], epb);
+            for (int k = 1; k < nep; k++) {
+                if (transformed) {
+                    int d = b6_sext(e[k][c], db[c]);
+                    int v = (e[0][c] + d) & mask;
+                    e[k][c] = is_signed ? b6_sext(v, epb) : v;
+                } else if (is_signed) {
+                    e[k][c] = b6_sext(e[k][c], db[c] == epb ? epb : db[c]);
+                }
+            }
+        }
+    }
+    int unq[4][3];
+    for (int k = 0; k < nep; k++)
+        for (int c = 0; c < 3; c++)
+            unq[k][c] = is_signed ? b6_unq_signed(e[k][c], epb)
+                                  : b6_unq_unsigned(e[k][c], epb);
+
+    int idx[16];
+    int ib = two ? 3 : 4;
+    for (int px = 0; px < 16; px++) {
+        int anchor = (px == 0) ||
+                     (two && px == bc7_anchor2[partition]);
+        idx[px] = (int)b6(&r, anchor ? ib - 1 : ib);
+    }
+    for (int px = 0; px < 16; px++) {
+        int subset = two ? bc7_part2[partition][px] : 0;
+        const int *e0 = unq[2 * subset];
+        const int *e1 = unq[2 * subset + 1];
+        int wgt = two ? bc7_w3[idx[px]] : bc7_w4[idx[px]];
+        for (int c = 0; c < 3; c++) {
+            int interp = (e0[c] * (64 - wgt) + e1[c] * wgt + 32) >> 6;
+            uint16_t half;
+            if (is_signed) {
+                int s = interp < 0;
+                int v = (s ? -interp : interp) * 31 >> 5;
+                half = (uint16_t)((s ? 0x8000 : 0) | v);
+            } else {
+                half = (uint16_t)((interp * 31) >> 6);
+            }
+            out[px][c] = b6_half_to_float(half);
+        }
+    }
+}
+
+void decode_bc6h(const uint8_t *src, float *dst, int width, int height,
+                 int is_signed) {
+    int bw = (width + 3) / 4, bh = (height + 3) / 4;
+    for (int by = 0; by < bh; by++) {
+        for (int bx = 0; bx < bw; bx++) {
+            float px[16][3];
+            decode_bc6h_block(src + (by * bw + bx) * 16, px, is_signed);
+            for (int i = 0; i < 16; i++) {
+                int x = bx * 4 + (i & 3);
+                int y = by * 4 + (i >> 2);
+                if (x >= width || y >= height) continue;
+                float *o = dst + (y * width + x) * 3;
+                o[0] = px[i][0];
+                o[1] = px[i][1];
+                o[2] = px[i][2];
+            }
+        }
+    }
+}
+
+}  // extern "C"
