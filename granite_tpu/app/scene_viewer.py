@@ -274,13 +274,18 @@ class SceneViewerApplication(Application):
                 self.config.ocean = True
             if loader.terrain_config is not None:
                 self.config.terrain = True
+                self._terrain_cfg = loader.terrain_config
             LOGI("Loaded scene %s", args.scene)
         else:
             info = build_default_test_scene()
             LOGI("Using procedural test scene")
         self.info = info
         self.ocean = None
+        self.ground = None
         self._ocean_obj = -1
+        self._ground_obj = -1
+        if not hasattr(self, "_terrain_cfg"):
+            self._terrain_cfg = {}
         if self.config.ocean:
             self._add_ocean(info)
         if self.config.terrain:
@@ -349,6 +354,14 @@ class SceneViewerApplication(Application):
                 np.asarray(self.packed.v_node) == self._ocean_node)
             self._ocean_obj = int(np.nonzero(
                 self.packed.obj_node == self._ocean_node)[0][0])
+        if self.ground is not None:
+            # LOD terrain displaces at transform time; the shadow path
+            # has no camera, so the LOD ground is a shadow RECEIVER only
+            # (the baked terrain path keeps casting).
+            self._ground_vmask = jnp.asarray(
+                np.asarray(self.packed.v_node) == self._ground_node)
+            self._ground_obj = int(np.nonzero(
+                self.packed.obj_node == self._ground_node)[0][0])
         self.context = RenderContext()
         self.camera = self._setup_camera(args)
         self.graph = RenderGraph()
@@ -398,18 +411,41 @@ class SceneViewerApplication(Application):
             info.roots.append(self._ocean_node)
 
     def _add_terrain(self, info: SceneInfo) -> None:
-        """Compose a heightmap terrain (renderer/ground.cpp)."""
-        from ..renderer.ground import fbm_heightmap, ground_mesh
+        """Compose a heightmap terrain (renderer/ground.cpp).
+
+        terrain {"lod": true} selects the GroundPatch-LOD analogue: a
+        flat grid displaced per frame from a heightmap mip stack with
+        per-vertex distance LOD (renderer/ground.GroundLOD); otherwise
+        the displacement is baked into the vertex buffer at load."""
+        from ..renderer.ground import (
+            GroundLOD, fbm_heightmap, flat_grid_mesh, ground_mesh,
+        )
         from ..scene.scene_formats import MaterialData, NodeData
+        tc = self._terrain_cfg
+        world_size = float(tc.get("worldSize", 80.0))
+        amplitude = float(tc.get("amplitude", 2.5))
+        grid = int(tc.get("grid", 128))
         mat = len(info.materials)
         info.materials.append(MaterialData(
             name="ground",
             base_color_factor=np.array([0.25, 0.3, 0.12, 1], np.float32),
             roughness_factor=0.95, metallic_factor=0.0))
         mesh = len(info.meshes)
-        info.meshes.append(ground_mesh(fbm_heightmap(amplitude=2.5),
-                                       world_size=80.0, material=mat))
+        hm = fbm_heightmap(amplitude=amplitude, seed=int(tc.get("seed", 0)))
+        if tc.get("lod"):
+            self.ground = GroundLOD(hm, world_size=world_size, grid=grid,
+                                    max_lod=float(tc.get("maxLod", 5.0)),
+                                    base_patch_size=int(
+                                        tc.get("basePatchSize", 64)))
+            md = flat_grid_mesh(world_size, grid, material=mat)
+            md.aabb_max[1] = amplitude      # conservative displaced AABB
+            info.meshes.append(md)
+        else:
+            info.meshes.append(ground_mesh(hm, world_size=world_size,
+                                           grid=grid, material=mat))
         node = len(info.nodes)
+        if self.ground is not None:
+            self._ground_node = node
         nd = NodeData(name="ground",
                       translation=np.array([0, -1.5, 0], np.float32),
                       meshes=[mesh])
@@ -861,12 +897,21 @@ class SceneViewerApplication(Application):
 
     def _transform(self, ctx):
         p = ctx.params
-        displace_fn = None
+        fns = []
         if self.ocean is not None:
             maps = ctx.input("ocean-maps")
             vmask = self._ocean_vmask
-            displace_fn = lambda pos, nrm: self.ocean.displace(
-                pos, nrm, vmask, maps)
+            fns.append(lambda pos, nrm: self.ocean.displace(
+                pos, nrm, vmask, maps, camera_pos=p["camera_pos"]))
+        if self.ground is not None:
+            fns.append(lambda pos, nrm: self.ground.displace(
+                pos, nrm, self._ground_vmask, p["camera_pos"]))
+        displace_fn = None
+        if fns:
+            def displace_fn(pos, nrm):
+                for f in fns:
+                    pos, nrm = f(pos, nrm)
+                return pos, nrm
         return transform_vertices(
             self._scene_of(ctx), ctx.input("world"),
             ctx.input("normal_mats"),
@@ -1496,6 +1541,12 @@ class SceneViewerApplication(Application):
             shadow_mask[self._ocean_obj] = False  # water casts no shadow
             static_shadow_mask[self._ocean_obj] = False
             dynamic_shadow_mask[self._ocean_obj] = False
+        if self._ground_obj >= 0:
+            # LOD terrain (flat until transform-time displacement) can't
+            # cast from the camera-less shadow path.
+            shadow_mask[self._ground_obj] = False
+            static_shadow_mask[self._ground_obj] = False
+            dynamic_shadow_mask[self._ground_obj] = False
 
         n = scene.num_nodes
         world = scene.world[:n]

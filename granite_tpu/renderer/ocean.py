@@ -66,28 +66,65 @@ class Ocean:
                         material=material).finalize()
 
     def fft_pass(self, ctx):
-        """Graph pass: spectrum evolve + 3 IFFTs -> packed (N, N, 5)."""
+        """Graph pass: spectrum evolve + 3 IFFTs -> packed LOD mip stack
+        (L, N, N, 5).
+
+        The reference builds "ocean-lods" mip chains of the displacement
+        maps and a per-patch LOD texture consumed by ocean.vert
+        (ocean.cpp:181-235 + cull_blocks.comp); here the mip chain is
+        built in the same pass and LOD selection happens per VERTEX in
+        displace() — continuous LOD with no patch stitching needed.
+        """
         t = ctx.params["ocean_time"]
         height, disp, grad = O.ocean_maps(
             self.h0, self.kx, self.ky, self.k_len, t,
             period=self.config.animation_period)
         maps = jnp.concatenate(
             [height[..., None] * self.config.height_scale, disp, grad],
-            axis=-1)
-        return {"ocean-maps": maps.astype(jnp.float32)}
+            axis=-1).astype(jnp.float32)
+        from ..ops.texture import build_mips
+        levels = min(self.num_lods,
+                     int(np.log2(self.config.fft_resolution)) + 1)
+        return {"ocean-maps": build_mips(maps, levels)}
 
-    def displace(self, world_pos, world_normal, vertex_mask, maps):
+    # Vertex LOD count (quad_lod mip chain depth, ocean.cpp:208-213).
+    num_lods = 6
+
+    def displace(self, world_pos, world_normal, vertex_mask, maps,
+                 camera_pos=None):
         """Vertex displacement + analytic normals from the gradient maps.
 
         world_pos: (V, 3); vertex_mask: (V,) bool for ocean vertices;
-        maps: (N, N, 5).  UVs derive from world xz (periodic tiling),
-        matching heightmap_world_size addressing (ocean.cpp:411).
+        maps: (L, N, N, 5) mip stack.  UVs derive from world xz
+        (periodic tiling), matching heightmap_world_size addressing
+        (ocean.cpp:411).
+
+        camera_pos: when given, per-vertex distance selects the
+        displacement mip (GPU grid LOD analogue): far vertices sample a
+        box-filtered spectrum so sub-grid waves can't alias/shimmer,
+        and trilinear lod blending geomorphs between levels (the
+        reference's discrete patch LODs + edge stitching are replaced
+        by a LOD that varies continuously across the surface — cracks
+        are impossible by construction).
         """
         ws = self.config.world_size
         u = world_pos[:, 0] / ws + 0.5
         v = world_pos[:, 2] / ws + 0.5
-        from ..ops.texture import sample_level
-        s = sample_level(maps[None], u, v, jnp.int32(0), wrap=0)
+        if camera_pos is not None:
+            d = world_pos - camera_pos
+            dist = jnp.sqrt(jnp.maximum((d * d).sum(-1), 1e-6))
+            # LOD 0 holds until one displacement-map texel subtends less
+            # than ~a pixel (texel size * ~1000 at 1080p / 60 deg fov),
+            # doubling per level — LOD exists to stop sub-pixel waves
+            # from shimmering, not to blur nearby detail.
+            lod0 = ws / self.config.fft_resolution * 1000.0
+            lod = jnp.clip(jnp.log2(jnp.maximum(dist / lod0, 1.0)), 0.0,
+                           maps.shape[0] - 1.0)
+            from ..ops.texture import sample_trilinear
+            s = sample_trilinear(maps, u, v, lod, wrap=0)
+        else:
+            from ..ops.texture import sample_level
+            s = sample_level(maps, u, v, jnp.int32(0), wrap=0)
         h = s[..., 0]
         dx = -self.config.lambda_disp * s[..., 1]
         dz = -self.config.lambda_disp * s[..., 2]
