@@ -5,8 +5,11 @@ Wire-compatible subset: message magic/typing (PYRO_MAKE_MESSAGE_TYPE
 with the version mask), the TCP handshake (HELLO -> COOKIE -> UDP
 cookie ack -> KICK -> CODEC_PARAMETERS), UDP payload packetization with
 packet/subpacket sequence fields, BEGIN/KEY-FRAME/stream-type flag
-bits, and client-side reassembly + progress accounting.  FEC blocks are
-parsed but not generated (noted gap).
+bits, the 24-byte pyro_payload_header on every datagram, and
+client-side reassembly + progress accounting.  FEC: XOR parity stripes
+over even/odd subpacket sets (header fields num_fec_blocks /
+num_xor_blocks_even/odd; the reference's generator is out-of-tree, see
+packetize's docstring for the stripe contract).
 """
 
 from __future__ import annotations
@@ -112,18 +115,83 @@ def payload_flags(packet_seq: int, subpacket_seq: int, begin: bool,
     return f
 
 
-def packetize(frame: bytes, packet_seq: int, key_frame: bool) -> list:
-    """Split one encoded frame into UDP datagrams (payload header +
-    <=PYRO_MAX_PAYLOAD_SIZE chunks)."""
+@dataclass
+class PayloadHeader:
+    """struct pyro_payload_header (pyro_protocol.h:219-227, 24 bytes,
+    little-endian): every UDP datagram leads with it."""
+    pts_lo: int = 0
+    pts_hi: int = 0
+    dts_delta: int = 0
+    payload_size: int = 0
+    num_fec_blocks: int = 0
+    num_xor_blocks_even: int = 0
+    num_xor_blocks_odd: int = 0
+    encoded: int = 0
+
+    _FMT = "<IIIIHBBI"
+    SIZE = struct.calcsize("<IIIIHBBI")
+
+    def pack(self) -> bytes:
+        return struct.pack(self._FMT, self.pts_lo, self.pts_hi,
+                           self.dts_delta, self.payload_size,
+                           self.num_fec_blocks, self.num_xor_blocks_even,
+                           self.num_xor_blocks_odd, self.encoded)
+
+    @classmethod
+    def unpack(cls, b: bytes) -> "PayloadHeader":
+        return cls(*struct.unpack_from(cls._FMT, b))
+
+
+def _xor_into(acc: bytearray, chunk: bytes) -> None:
+    for i, c in enumerate(chunk):
+        acc[i] ^= c
+
+
+def packetize(frame: bytes, packet_seq: int, key_frame: bool,
+              pts: int = 0, dts_delta: int = 0,
+              xor_blocks_even: int = 0, xor_blocks_odd: int = 0) -> list:
+    """Split one encoded frame into UDP datagrams (pyro_payload_header +
+    <=PYRO_MAX_PAYLOAD_SIZE chunks), optionally followed by FEC parity.
+
+    FEC (header fields num_fec_blocks / num_xor_blocks_even/odd,
+    pyro_protocol.h:224-225; the reference's FEC generator lives in the
+    out-of-tree pyrofling server, so the stripe layout here is this
+    implementation's contract, mirrored by Reassembler): data subpackets
+    are split into even/odd index sets; set members are striped over the
+    set's parity blocks (member k of the even set XORs into parity
+    k % num_xor_blocks_even).  Parity datagrams carry
+    PAYLOAD_PACKET_FEC_BIT with an unwrapped subpacket_seq numbering
+    even parities first.  One lost subpacket per stripe is recoverable.
+    """
     out = []
     n = max(1, (len(frame) + PYRO_MAX_PAYLOAD_SIZE - 1)
             // PYRO_MAX_PAYLOAD_SIZE)
+    xor_blocks_even = min(xor_blocks_even, (n + 1) // 2)
+    xor_blocks_odd = min(xor_blocks_odd, n // 2)
+    nfec = xor_blocks_even + xor_blocks_odd
+    hdr = PayloadHeader(pts_lo=pts & 0xFFFFFFFF,
+                        pts_hi=(pts >> 32) & 0xFFFFFFFF,
+                        dts_delta=dts_delta, payload_size=len(frame),
+                        num_fec_blocks=nfec,
+                        num_xor_blocks_even=xor_blocks_even,
+                        num_xor_blocks_odd=xor_blocks_odd)
+    parity = [bytearray(PYRO_MAX_PAYLOAD_SIZE) for _ in range(nfec)]
     for i in range(n):
         chunk = frame[i * PYRO_MAX_PAYLOAD_SIZE:
                       (i + 1) * PYRO_MAX_PAYLOAD_SIZE]
-        flags = payload_flags(packet_seq, i, begin=(i == 0),
-                              key_frame=key_frame)
-        out.append(struct.pack("<I", flags) + chunk)
+        hdr.encoded = payload_flags(packet_seq, i, begin=(i == 0),
+                                    key_frame=key_frame)
+        out.append(hdr.pack() + chunk)
+        if i % 2 == 0 and xor_blocks_even:
+            _xor_into(parity[(i // 2) % xor_blocks_even], chunk)
+        elif i % 2 == 1 and xor_blocks_odd:
+            _xor_into(parity[xor_blocks_even
+                             + (i // 2) % xor_blocks_odd], chunk)
+    for j in range(nfec):
+        hdr.encoded = payload_flags(packet_seq, j, begin=False,
+                                    key_frame=key_frame) \
+            | PAYLOAD_PACKET_FEC_BIT
+        out.append(hdr.pack() + bytes(parity[j]))
     return out
 
 
@@ -133,17 +201,19 @@ class Reassembler:
     total_received_packets: int = 0
     total_dropped_video_packets: int = 0
     total_received_key_frames: int = 0
+    total_recovered_packets: int = 0
     _cur_seq: int = -1
     _parts: dict = field(default_factory=dict)
+    _fec: dict = field(default_factory=dict)
+    _hdr: object = None
     _key: bool = False
 
     def feed(self, datagram: bytes) -> Optional[bytes]:
         """Returns a completed frame when the next BEGIN arrives."""
-        (flags,) = struct.unpack_from("<I", datagram)
-        data = datagram[4:]
+        hdr = PayloadHeader.unpack(datagram)
+        flags = hdr.encoded
+        data = datagram[PayloadHeader.SIZE:]
         self.total_received_packets += 1
-        if flags & PAYLOAD_PACKET_FEC_BIT:
-            return None                    # FEC decode not implemented
         pseq = (flags >> PACKET_SEQ_OFFSET) & PACKET_SEQ_MASK
         sseq = (flags >> SUBPACKET_SEQ_OFFSET) & SUBPACKET_SEQ_MASK
         done = None
@@ -151,20 +221,62 @@ class Reassembler:
             done = self._complete()
             self._cur_seq = pseq
             self._parts = {}
+            self._fec = {}
             self._key = bool(flags & PAYLOAD_KEY_FRAME_BIT)
         if pseq != self._cur_seq:
             self.total_dropped_video_packets += 1
             return done
-        self._parts[sseq] = data
+        self._hdr = hdr
+        if flags & PAYLOAD_PACKET_FEC_BIT:
+            self._fec[sseq] = data
+        else:
+            self._parts[sseq] = data
         return done
 
     def flush(self) -> Optional[bytes]:
         return self._complete()
 
+    def _try_fec_recover(self, n: int) -> None:
+        """Recover single missing subpackets per XOR stripe (layout in
+        packetize's docstring)."""
+        h = self._hdr
+        if h is None or h.num_fec_blocks == 0:
+            return
+        E, O = h.num_xor_blocks_even, h.num_xor_blocks_odd
+        stripes = {}
+        for i in range(n):
+            if i % 2 == 0 and E:
+                stripes.setdefault((i // 2) % E, []).append(i)
+            elif i % 2 == 1 and O:
+                stripes.setdefault(E + (i // 2) % O, []).append(i)
+        for j, members in stripes.items():
+            if j not in self._fec:
+                continue
+            missing = [i for i in members if i not in self._parts]
+            if len(missing) != 1:
+                continue
+            acc = bytearray(self._fec[j])
+            for i in members:
+                if i != missing[0]:
+                    _xor_into(acc, self._parts[i])
+            i = missing[0]
+            if i == n - 1:
+                tail = h.payload_size - i * PYRO_MAX_PAYLOAD_SIZE
+                self._parts[i] = bytes(acc[:tail])
+            else:
+                self._parts[i] = bytes(acc[:PYRO_MAX_PAYLOAD_SIZE])
+            self.total_recovered_packets += 1
+
     def _complete(self) -> Optional[bytes]:
         if self._cur_seq < 0 or not self._parts:
             return None
+        h = self._hdr
         n = max(self._parts) + 1
+        if h is not None and h.payload_size:
+            n = max(1, (h.payload_size + PYRO_MAX_PAYLOAD_SIZE - 1)
+                    // PYRO_MAX_PAYLOAD_SIZE)
+        if any(i not in self._parts for i in range(n)):
+            self._try_fec_recover(n)
         if any(i not in self._parts for i in range(n)):
             self.total_dropped_video_packets += 1
             return None
@@ -172,6 +284,7 @@ class Reassembler:
             self.total_received_key_frames += 1
         out = b"".join(self._parts[i] for i in range(n))
         self._parts = {}
+        self._fec = {}
         return out
 
     def progress_report(self) -> bytes:
@@ -235,9 +348,13 @@ class PyroServer:
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
 
-    def send_frame(self, frame: bytes, key_frame: bool = False) -> None:
+    def send_frame(self, frame: bytes, key_frame: bool = False,
+                   pts: int = 0, xor_blocks_even: int = 0,
+                   xor_blocks_odd: int = 0) -> None:
         assert self._client_addr is not None
-        for dg in packetize(frame, self._packet_seq, key_frame):
+        for dg in packetize(frame, self._packet_seq, key_frame, pts=pts,
+                            xor_blocks_even=xor_blocks_even,
+                            xor_blocks_odd=xor_blocks_odd):
             self._udp.sendto(dg, self._client_addr)
         self._packet_seq = (self._packet_seq + 1) & PACKET_SEQ_MASK
 
@@ -271,7 +388,8 @@ class PyroClient:
     def recv_frame(self, timeout: float = 2.0) -> Optional[bytes]:
         self._udp.settimeout(timeout)
         while True:
-            data, _ = self._udp.recvfrom(PYRO_MAX_PAYLOAD_SIZE + 16)
+            data, _ = self._udp.recvfrom(
+                PYRO_MAX_PAYLOAD_SIZE + PayloadHeader.SIZE)
             frame = self.reassembler.feed(data)
             if frame is not None:
                 return frame
