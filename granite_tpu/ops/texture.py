@@ -286,6 +286,48 @@ def build_packed_strip_np(img, wrap: int = WRAP_REPEAT, dtype="float16"):
     return packed.astype(dtype)
 
 
+def build_packed_strip_from_levels_np(levels, wrap: int = WRAP_REPEAT,
+                                      dtype="float16"):
+    """Quad-packed gutter strip from EXPLICIT per-level images
+    (each (S>>l, S>>l, C)) instead of box-filtered mips — used by the
+    offline IBL convolver whose levels are GGX-prefiltered
+    (tools/convert_equirect_to_environment.cpp analogue)."""
+    import numpy as np
+    s = levels[0].shape[0]
+    C = levels[0].shape[-1]
+    L = num_mip_levels(s, s)
+    HS, WS = gutter_strip_height(s), s + 1
+    out = np.zeros((HS, WS, C), np.float32)
+    off = 0
+    cur = np.asarray(levels[0], np.float32)
+    for l in range(L):
+        ls = max(s >> l, 1)
+        if l < len(levels):
+            cur = np.asarray(levels[l], np.float32)
+            assert cur.shape[0] == ls, (l, cur.shape, ls)
+        elif ls > 1 or cur.shape[0] > 1:
+            n2 = max(cur.shape[0] // 2, 1)
+            if cur.shape[0] > 1:
+                cur = cur[:n2 * 2, :n2 * 2].reshape(
+                    n2, 2, n2, 2, C).mean(axis=(1, 3))
+        ext = np.zeros((ls + 1, ls + 1, C), np.float32)
+        ext[:ls, :ls] = cur
+        if wrap == WRAP_REPEAT:
+            ext[:ls, ls] = cur[:, 0]
+            ext[ls, :ls] = cur[0, :]
+            ext[ls, ls] = cur[0, 0]
+        else:
+            ext[:ls, ls] = cur[:, -1]
+            ext[ls, :ls] = cur[-1, :]
+            ext[ls, ls] = cur[-1, -1]
+        out[off:off + ls + 1, :ls + 1] = ext
+        off += ls + 1
+    packed = np.concatenate(
+        [out[:-1, :-1], out[:-1, 1:], out[1:, :-1], out[1:, 1:]],
+        axis=-1)
+    return packed.astype(dtype)
+
+
 def _gutter_level_coords(S: int, u, v, level, wrap: int):
     """Start texel + bilinear fracs for one level of a gutter strip."""
     L = num_mip_levels(S, S)

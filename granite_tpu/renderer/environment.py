@@ -95,16 +95,134 @@ def eval_sh9(sh, n):
     return jnp.einsum("...i,ij->...j", basis, sh)
 
 
+def _equirect_dirs(h: int, w: int):
+    v = (np.arange(h) + 0.5) / h
+    u = (np.arange(w) + 0.5) / w
+    theta = v * np.pi
+    phi = u * 2 * np.pi
+    st = np.sin(theta)[:, None]
+    y = np.broadcast_to(np.cos(theta)[:, None], (h, w)).copy()
+    x = st * np.cos(phi)[None, :]
+    z = st * np.sin(phi)[None, :]
+    return np.stack([x, y, z], -1).astype(np.float32)
+
+
+def _sample_equirect_np(env: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+    """Bilinear equirect lookup by direction (numpy, bake-time)."""
+    h, w = env.shape[:2]
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    n = np.sqrt(np.maximum(x * x + y * y + z * z, 1e-20))
+    theta = np.arccos(np.clip(y / n, -1, 1))
+    phi = np.arctan2(z, x)
+    u = np.where(phi < 0, phi + 2 * np.pi, phi) / (2 * np.pi)
+    v = theta / np.pi
+    fx = u * w - 0.5
+    fy = np.clip(v * h - 0.5, 0, h - 1)
+    x0 = np.floor(fx).astype(int)
+    y0 = np.floor(fy).astype(int)
+    ax = (fx - x0)[..., None]
+    ay = (fy - y0)[..., None]
+    x1 = (x0 + 1) % w
+    x0 = x0 % w
+    y1 = np.minimum(y0 + 1, h - 1)
+    t = env[y0, x0] * (1 - ax) + env[y0, x1] * ax
+    b = env[y1, x0] * (1 - ax) + env[y1, x1] * ax
+    return t * (1 - ay) + b * ay
+
+
+def prefilter_ggx_equirect(env: np.ndarray, base_size: int,
+                           levels: int, samples: int = 64) -> list:
+    """GGX-prefiltered specular chain (the split-sum bake of
+    tools/convert_equirect_to_environment.cpp --reflection): level l is
+    the environment convolved with the GGX lobe at roughness
+    l / (levels - 1), importance-sampled with a Hammersley sequence.
+    Returns [(S>>l, S>>l, 3) float32] equirect levels (square, resampled
+    by the caller's strip builder)."""
+    out = []
+    i = np.arange(samples)
+    # Hammersley (radical inverse base 2)
+    bits = i.astype(np.uint32)
+    bits = ((bits << 16) | (bits >> 16)) & 0xFFFFFFFF
+    bits = (((bits & 0x55555555) << 1) | ((bits & 0xAAAAAAAA) >> 1))
+    bits = (((bits & 0x33333333) << 2) | ((bits & 0xCCCCCCCC) >> 2))
+    bits = (((bits & 0x0F0F0F0F) << 4) | ((bits & 0xF0F0F0F0) >> 4))
+    bits = (((bits & 0x00FF00FF) << 8) | ((bits & 0xFF00FF00) >> 8))
+    xi = np.stack([i / samples, bits * 2.3283064365386963e-10], -1)
+    for l in range(levels):
+        s = max(base_size >> l, 1)
+        rough = l / max(levels - 1, 1)
+        a = max(rough * rough, 1e-3)
+        N = _equirect_dirs(s, s)
+        up = np.where(np.abs(N[..., 1:2]) < 0.999,
+                      np.array([0, 1, 0], np.float32),
+                      np.array([1, 0, 0], np.float32))
+        T = np.cross(up, N)
+        T /= np.linalg.norm(T, axis=-1, keepdims=True)
+        B = np.cross(N, T)
+        acc = np.zeros((s, s, 3), np.float32)
+        wsum = np.zeros((s, s, 1), np.float32)
+        for k in range(samples):
+            phi = 2 * np.pi * xi[k, 0]
+            ct = np.sqrt((1 - xi[k, 1]) / (1 + (a * a - 1) * xi[k, 1]))
+            st = np.sqrt(max(1 - ct * ct, 0.0))
+            Hl = np.array([st * np.cos(phi), st * np.sin(phi), ct],
+                          np.float32)
+            H = Hl[0] * T + Hl[1] * B + Hl[2] * N
+            noh = (N * H).sum(-1, keepdims=True)
+            L = 2 * noh * H - N                      # V = N
+            nol = np.clip((N * L).sum(-1, keepdims=True), 0, None)
+            acc += _sample_equirect_np(env, L) * nol
+            wsum += nol
+        out.append((acc / np.maximum(wsum, 1e-6)).astype(np.float32))
+    return out
+
+
+ENV_BAKE_MAGIC = "GENV1"
+
+
+def save_baked_environment(path: str, env: np.ndarray, base_size: int = 64,
+                           levels: int | None = None,
+                           samples: int = 64) -> dict:
+    """Offline convolver output: GGX reflection chain + SH irradiance
+    (+ a small cosine-convolved irradiance map) in one .npz."""
+    levels = levels or int(np.log2(base_size)) + 1
+    refl = prefilter_ggx_equirect(env, base_size, levels, samples)
+    sh = project_sh9(env)
+    # irradiance equirect (tool --irradiance): evaluate the SH per texel
+    dirs = _equirect_dirs(32, 64)
+    irr = np.maximum(np.asarray(eval_sh9(jnp.asarray(sh),
+                                         jnp.asarray(dirs))), 0.0)
+    baked = {"magic": ENV_BAKE_MAGIC, "sh": sh,
+             "irradiance": np.asarray(irr, np.float32),
+             "num_levels": levels}
+    baked.update({f"reflection_{l}": refl[l] for l in range(levels)})
+    np.savez(path, **baked)
+    return baked
+
+
+def load_baked_environment(path: str) -> dict:
+    z = np.load(path, allow_pickle=False)
+    assert str(z["magic"]) == ENV_BAKE_MAGIC, "not a GENV1 bake"
+    n = int(z["num_levels"])
+    return {"sh": z["sh"], "irradiance": z["irradiance"],
+            "reflection": [z[f"reflection_{l}"] for l in range(n)]}
+
+
 class Environment:
     """Sky + IBL bundle handed to the shading kernels."""
 
     def __init__(self, equirect: np.ndarray, intensity: float = 1.0,
-                 sky_params: dict | None = None):
+                 sky_params: dict | None = None, baked: dict | None = None):
         """sky_params: when the equirect came from
         procedural_sky_equirect, its parameters — enables the ANALYTIC
         sky path (closed-form evaluation per pixel, zero gathers; the
-        TPU-native specialization of the reference's skybox texture)."""
-        from ..ops.texture import build_packed_strip_np
+        TPU-native specialization of the reference's skybox texture).
+
+        baked: output of load_baked_environment — uses the offline
+        GGX-prefiltered reflection chain instead of box mips."""
+        from ..ops.texture import (
+            build_packed_strip_from_levels_np, build_packed_strip_np,
+        )
         h, w = equirect.shape[:2]
         # Resample equirect (H, 2H) -> square pow2 (S, S); stored as a
         # quad-packed gutter strip (ops/texture.py) so every bilinear env
@@ -113,14 +231,23 @@ class Environment:
         while s < max(h, w):
             s *= 2
         from ..assets.texture_array import _resize_bilinear
-        sq = _resize_bilinear(
-            np.concatenate([equirect,
-                            np.ones_like(equirect[..., :1])], axis=-1),
-            s, s)
-        strip = build_packed_strip_np(sq.astype(np.float32),
-                                      dtype="float32")
+        if baked is not None:
+            levels = [np.concatenate([lv, np.ones_like(lv[..., :1])], -1)
+                      for lv in baked["reflection"]]
+            s = levels[0].shape[0]
+            strip = build_packed_strip_from_levels_np(levels,
+                                                      dtype="float32")
+            self.sh = jnp.asarray(np.asarray(baked["sh"], np.float32)
+                                  * intensity)
+        else:
+            sq = _resize_bilinear(
+                np.concatenate([equirect,
+                                np.ones_like(equirect[..., :1])], axis=-1),
+                s, s)
+            strip = build_packed_strip_np(sq.astype(np.float32),
+                                          dtype="float32")
+            self.sh = jnp.asarray(project_sh9(equirect) * intensity)
         self.strips = jnp.asarray(strip[None])   # (1, HS-1, S, 16)
-        self.sh = jnp.asarray(project_sh9(equirect) * intensity)
         self.intensity = intensity
         self.num_levels = int(np.log2(s)) + 1
         self.sky_params = sky_params
