@@ -35,11 +35,12 @@ def bench_deferred_hdr(width=1920, height=1080, frames=12):
     # Warmup/compile.  block_until_ready() does NOT wait on the axon
     # tunnel (CLAUDE.md) — a tiny readback is the only true fence.
     np.asarray(app.render_frame(1 / 60, 0.0)[0, 0:1])
-    np.asarray(app.render_frame(1 / 60, 1 / 60)[0, 0:1])
+    # Frames chain in ONE device program (graph.execute_chain): frames
+    # present device-side like a real swapchain; only the final
+    # backbuffer crosses the tunnel.  Warm the chain executable too.
+    np.asarray(app.render_frames_chained(1 / 60, 1 / 60, frames)[0, 0:1])
     t0 = time.monotonic_ns()
-    out = None
-    for i in range(frames):
-        out = app.render_frame(1 / 60, (i + 2) / 60)
+    out = app.render_frames_chained(1 / 60, 2 / 60, frames)
     np.asarray(out[0, 0:1])
     dt_ms = (time.monotonic_ns() - t0) / 1e6 / frames
     return {

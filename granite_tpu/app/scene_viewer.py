@@ -1476,6 +1476,13 @@ class SceneViewerApplication(Application):
             mats.append(np.matmul(jw, sk.inverse_bind))
         return jnp.asarray(np.concatenate(mats).astype(np.float32))
 
+    def _static_frame_sig(self, frame_time: float):
+        return (tuple(np.asarray(self.camera.position).tolist()),
+                tuple(np.asarray(self.camera.rotation).tolist()),
+                float(frame_time), len(self.animation_system.states),
+                self.ocean is not None, self._jitter is not None,
+                self.config.show_ui)
+
     def render_frame(self, frame_time: float, elapsed_time: float):
         scene = self.scene
         self.animation_system.animate(elapsed_time)
@@ -1486,11 +1493,7 @@ class SceneViewerApplication(Application):
         # through the remote TPU tunnel cost ~35 ms EACH, and a static
         # scene re-uploads nothing (the reference likewise persists
         # static UBOs/SSBOs across frames).
-        sig = (tuple(np.asarray(self.camera.position).tolist()),
-               tuple(np.asarray(self.camera.rotation).tolist()),
-               float(frame_time), len(self.animation_system.states),
-               self.ocean is not None, self._jitter is not None,
-               self.config.show_ui)
+        sig = self._static_frame_sig(frame_time)
         cached = getattr(self, "_param_cache", None)
         if cached is not None and cached[0] == sig and \
                 not self.animation_system.states and \
@@ -1692,6 +1695,39 @@ class SceneViewerApplication(Application):
             return out
         self._param_cache = (sig, params)
         out, self._history = self.graph.execute(params, self._history)
+        return out
+
+    def render_frames_chained(self, frame_time: float, t0: float,
+                              n: int):
+        """Render n frames with ONE device dispatch for frames 2..n
+        (graph.execute_chain — the present-to-swapchain analogue; only
+        the last backbuffer returns to the host).  Falls back to
+        per-frame render_frame when the scene is time-varying."""
+        cached = getattr(self, "_param_cache", None)
+        fresh = cached is not None and \
+            cached[0] == self._static_frame_sig(frame_time)
+        chain_n = n
+        if not fresh:
+            out = self.render_frame(frame_time, t0)
+            cached = getattr(self, "_param_cache", None)
+            chain_n = n - 1
+            if chain_n == 0:
+                return out
+        static_ok = cached is not None \
+            and not self.animation_system.states \
+            and not self.config.show_ui and self.ocean is None \
+            and self._jitter is None and not self._debug_graph
+        if not static_ok:
+            out = None
+            for i in range(n - chain_n, n):
+                out = self.render_frame(frame_time, t0 + i * frame_time)
+            return out
+        params = dict(cached[1])
+        params.pop("frame_time")
+        stacked = {"frame_time": jnp.broadcast_to(
+            jnp.float32(frame_time), (chain_n,))}
+        out, self._history = self.graph.execute_chain(
+            params, stacked, self._history, chain_n)
         return out
 
     def capture_environment_probe(self, path: str, face_size: int = 512,

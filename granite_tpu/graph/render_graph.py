@@ -425,6 +425,55 @@ class RenderGraph:
         """Un-jitted execution (validation-layer analogue / testing)."""
         return self._step(params, history)
 
+    def execute_chain(self, static_params, stacked_params, history,
+                      n: int):
+        """Run `n` frames inside ONE jitted program via lax.scan,
+        returning (last backbuffer, final history).
+
+        This is the device analogue of presenting to a swapchain: with
+        per-call outputs costing ~2-6 ns/byte through the remote-TPU
+        tunnel (plus ~2.3 ms dispatch latency), per-frame host returns
+        of an 8 MB backbuffer burn ~30 ms/frame that a real
+        present-to-display never pays.
+
+        static_params: top-level params entries shared by every frame
+        (scene buffers, transforms of a static scene); stacked_params:
+        entries whose leaves carry a leading axis of length n
+        (per-frame time, jitter, masks...).  Frame i runs with
+        {**static, **stacked[i]}.
+        """
+        if self._step is None:
+            raise RenderGraphError("graph not baked")
+        key = ("chain", n)
+        fn = self._chain_cache.get(key) if hasattr(self, "_chain_cache") \
+            else None
+        if fn is None:
+            step = self._step
+
+            def run(static, stacked, history):
+                # The first n-1 frames run under scan (their backbuffers
+                # never materialize as outputs); the last runs unstacked
+                # so only ITS backbuffer ships.
+                final_hist = history
+                if n > 1:
+                    head = jax.tree_util.tree_map(lambda x: x[:n - 1],
+                                                  stacked)
+
+                    def body(hist, frame_stacked):
+                        _out, new_hist = step({**static, **frame_stacked},
+                                              hist)
+                        return new_hist, None
+
+                    final_hist, _ = jax.lax.scan(body, history, head)
+                last = jax.tree_util.tree_map(lambda x: x[n - 1], stacked)
+                return step({**static, **last}, final_hist)
+
+            fn = jax.jit(run, donate_argnums=(2,))
+            if not hasattr(self, "_chain_cache"):
+                self._chain_cache = {}
+            self._chain_cache[key] = fn
+        return fn(static_params, stacked_params, history)
+
     @property
     def pass_order(self) -> list[str]:
         return list(self._order)

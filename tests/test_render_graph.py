@@ -169,3 +169,41 @@ def test_disabled_pass_feeding_backbuffer_raises():
     g._passes["double"].enabled = False
     with pytest.raises(RenderGraphError, match="disabled"):
         g.bake()
+
+
+def test_execute_chain_matches_sequential():
+    """graph.execute_chain (the present-chain fast path) produces the
+    same final backbuffer + history as per-frame execute."""
+    import json
+    import tempfile
+    import types
+
+    import numpy as np
+
+    from granite_tpu.app.scene_viewer import SceneViewerApplication
+
+    cfg = {"renderer": "deferred", "hdrBloom": True,
+           "shadowMapResolution": 32, "clusteredLightsShadows": False}
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(cfg, f)
+        path = f.name
+
+    def make():
+        app = SceneViewerApplication(types.SimpleNamespace(
+            scene=None, config=path, camera_index=-1, bench_scene=False))
+        app.swapchain_updated(64, 36)
+        return app
+
+    a = make()
+    out_seq = None
+    for i in range(4):
+        out_seq = a.render_frame(1 / 60, i / 60)
+
+    b = make()
+    out_chain = b.render_frames_chained(1 / 60, 0.0, 4)
+    assert np.array_equal(np.asarray(out_seq), np.asarray(out_chain))
+    # histories converge identically (luminance temporal lerp included)
+    for k in a._history:
+        assert np.allclose(np.asarray(a._history[k]),
+                           np.asarray(b._history[k]), atol=1e-6), k
