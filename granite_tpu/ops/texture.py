@@ -286,6 +286,116 @@ def build_packed_strip_np(img, wrap: int = WRAP_REPEAT, dtype="float16"):
     return packed.astype(dtype)
 
 
+def _box_mip_levels_np(img):
+    import numpy as np
+    s = img.shape[0]
+    L = num_mip_levels(s, s)
+    cur = np.asarray(img, np.float32)
+    levels = [cur]
+    for l in range(1, L):
+        ls = cur.shape[0]
+        if ls > 1:
+            n2 = ls // 2
+            cur = cur[:n2 * 2, :n2 * 2].reshape(
+                n2, 2, n2, 2, -1).mean(axis=(1, 3))
+        levels.append(cur)
+    return levels
+
+
+def _gutter_from_levels_np(levels, wrap: int):
+    import numpy as np
+    s = levels[0].shape[0]
+    C = levels[0].shape[-1]
+    L = num_mip_levels(s, s)
+    HS, WS = gutter_strip_height(s), s + 1
+    out = np.zeros((HS, WS, C), np.float32)
+    off = 0
+    for l in range(L):
+        ls = max(s >> l, 1)
+        cur = np.asarray(levels[l], np.float32)
+        ext = np.zeros((ls + 1, ls + 1, C), np.float32)
+        ext[:ls, :ls] = cur
+        if wrap == WRAP_REPEAT:
+            ext[:ls, ls] = cur[:, 0]
+            ext[ls, :ls] = cur[0, :]
+            ext[ls, ls] = cur[0, 0]
+        else:
+            ext[:ls, ls] = cur[:, -1]
+            ext[ls, :ls] = cur[-1, :]
+            ext[ls, ls] = cur[-1, -1]
+        out[off:off + ls + 1, :ls + 1] = ext
+        off += ls + 1
+    return out
+
+
+def _upsample2_centers_np(img, wrap: int):
+    """Bilinear 2x upsample evaluated at the FINE texel centers
+    (phase +-0.25) — the baked coarse tap of the LOD strip."""
+    import numpy as np
+    n = img.shape[0]
+    out_n = n * 2
+    pos = (np.arange(out_n) + 0.5) / 2.0 - 0.5
+    i0 = np.floor(pos).astype(int)
+    f = pos - i0
+    if wrap == WRAP_REPEAT:
+        a0 = i0 % n
+        a1 = (i0 + 1) % n
+    else:
+        a0 = np.clip(i0, 0, n - 1)
+        a1 = np.clip(i0 + 1, 0, n - 1)
+    fy = f[:, None, None]
+    rows = img[a0] * (1 - fy) + img[a1] * fy
+    fx = f[None, :, None]
+    return rows[:, a0] * (1 - fx) + rows[:, a1] * fx
+
+
+def build_packed_lod_strip_np(img, wrap: int = WRAP_REPEAT,
+                              dtype="float16"):
+    """(S, S, C) -> (HS-1, S, 5C) LOD strip: per texel
+    [t00 t10 t01 t11 | parent] where `parent` is the NEXT level
+    bilinearly pre-filtered at this texel's center.
+
+    ONE single-index gather then yields approximate trilinear:
+    lerp(bilinear(level), parent, lod_frac) — the coarse tap is frozen
+    to the fine texel grid (<=0.5 coarse-texel offset, invisible in the
+    2x-blurrier level) in exchange for HALVING the gather count, the
+    dominant cost at 1080p (measured ~16 ms/gather floor, ops header).
+    """
+    import numpy as np
+    levels = _box_mip_levels_np(img)
+    parents = [(_upsample2_centers_np(levels[l + 1], wrap)
+                if l + 1 < len(levels) else levels[l])
+               for l in range(len(levels))]
+    gf = _gutter_from_levels_np(levels, wrap)
+    gp = _gutter_from_levels_np(parents, wrap)
+    packed = np.concatenate(
+        [gf[:-1, :-1], gf[:-1, 1:], gf[1:, :-1], gf[1:, 1:],
+         gp[:-1, :-1]], axis=-1)
+    return packed.astype(dtype)
+
+
+def sample_packed_lod(packed: jax.Array, tex_id, u, v, lod,
+                      channels: int, wrap: int = WRAP_REPEAT):
+    """Approximate trilinear from a (N, HS-1, S, 5C) LOD strip — ONE
+    gather (see build_packed_lod_strip_np)."""
+    S = packed.shape[2]
+    L = num_mip_levels(S, S)
+    lod = jnp.clip(lod, 0.0, L - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - l0.astype(lod.dtype))[..., None]
+    yy, xx, fx, fy = _gutter_level_coords(S, u, v, l0, wrap)
+    row = packed[tex_id, yy, xx].astype(jnp.float32)     # (..., 5C)
+    quad = row[..., :4 * channels].reshape(
+        row.shape[:-1] + (4, channels))
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = quad[..., 0, :] * (1 - fx) + quad[..., 1, :] * fx
+    bot = quad[..., 2, :] * (1 - fx) + quad[..., 3, :] * fx
+    fine = top * (1 - fy) + bot * fy
+    parent = row[..., 4 * channels:]
+    return fine * (1 - frac) + parent * frac
+
+
 def build_packed_strip_from_levels_np(levels, wrap: int = WRAP_REPEAT,
                                       dtype="float16"):
     """Quad-packed gutter strip from EXPLICIT per-level images

@@ -53,10 +53,13 @@ class PackedScene:
     mat_bundle: jax.Array       # (M,) i32 material texture-bundle index
     mat_alpha: jax.Array        # (M, 2) f32: mode, cutoff
     mat_two_sided: jax.Array    # (M,) i32
-    # Material texture bundles: (B, HS-1, S, 64) f16 quad-packed gutter
-    # strips with base/mr/normal/emissive interleaved channel-wise and the
-    # 2x2 bilinear footprint pre-packed — full trilinear material sampling
-    # costs 2 single-index gathers (ops/texture.build_packed_strip_np).
+    # Material texture bundles: (B, HS-1, S, 60) f16 LOD strips holding
+    # the 12 essential material channels
+    # [base rgba | mr g,b | normal xyz | emissive rgb], 2x2-quad-packed
+    # with a pre-filtered next-level parent tap — FULL (approximate
+    # trilinear) material sampling costs ONE single-index gather
+    # (ops/texture.build_packed_lod_strip_np; ~16-30 ms/gather at 1080p
+    # is the dominant frame cost, so gather count is the lever).
     bundles: jax.Array
     # host-side object table (for culling)
     obj_node: np.ndarray        # (O,) node per object
@@ -135,12 +138,23 @@ def material_bundle_plan(mat_tex: np.ndarray):
     return mat_bundle, bundle_keys
 
 
+MATERIAL_CHANNELS = 12   # base rgba | mr g,b | normal xyz | emissive rgb
+
+
+def pack_material_channels(images_rgba: list) -> np.ndarray:
+    """4 linear (S, S, 4) images [base, mr, normal, emissive] -> the 12
+    essential channels (glTF uses mr.G=roughness, mr.B=metallic; normal
+    and emissive alpha are dead weight — payload bytes are gather cost)."""
+    base, mr, normal, emissive = images_rgba
+    return np.concatenate([base[..., 0:4], mr[..., 1:3],
+                           normal[..., 0:3], emissive[..., 0:3]], axis=-1)
+
+
 def build_bundle_strip(images_rgba: list) -> np.ndarray:
-    """4 linear (S, S, 4) images -> one quad-packed 16-channel gutter
-    strip (f16)."""
-    from ..ops.texture import build_packed_strip_np
-    stacked = np.concatenate(images_rgba, axis=-1)
-    return build_packed_strip_np(stacked)
+    """4 material images -> one 60-channel LOD strip (f16): quad-packed
+    12 channels + pre-filtered parent tap (one-gather trilinear)."""
+    from ..ops.texture import build_packed_lod_strip_np
+    return build_packed_lod_strip_np(pack_material_channels(images_rgba))
 
 
 def pack_scene(info: SceneInfo, node_of_instance=None,
@@ -559,9 +573,10 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
                             duvdy[..., 0], duvdy[..., 1], S, S,
                             bias=lod_bias)
     u, v = uv[..., 0], uv[..., 1]
-    # ONE bundle fetch (2 single-index gathers) gives all four material
+    # ONE bundle fetch (ONE single-index gather) gives all four material
     # textures at the shared (uv, lod): [base | mr | normal | emissive].
-    tex = T.sample_packed_trilinear(bundles, bundle_id, u, v, lod, 16)
+    tex = T.sample_packed_lod(bundles, bundle_id, u, v, lod,
+                              MATERIAL_CHANNELS)
     base_tex = tex[..., 0:4]
     base_color = base_factor[..., :3] * base_tex[..., :3]
 
@@ -569,8 +584,8 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
     # only the channels some material in the scene uses (the fetch cost
     # is already shared; these gates keep the ALU lean).
     if scene.has_mr_textures:
-        metallic = mr_factor[..., 0] * tex[..., 6]      # glTF: B=metal
-        roughness = mr_factor[..., 1] * tex[..., 5]     # G=rough
+        metallic = mr_factor[..., 0] * tex[..., 5]      # glTF: B=metal
+        roughness = mr_factor[..., 1] * tex[..., 4]     # G=rough
     else:
         metallic = mr_factor[..., 0]
         roughness = mr_factor[..., 1]
@@ -580,14 +595,14 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
         # Normal mapping (static_mesh.frag tangent-frame path).
         t3 = _normalize(tan[..., :3])
         b = jnp.cross(n, t3) * tan[..., 3:4]
-        tn = tex[..., 8:11] * 2.0 - 1.0
+        tn = tex[..., 6:9] * 2.0 - 1.0
         n_mapped = _normalize(tn[..., 0:1] * t3 + tn[..., 1:2] * b
                               + tn[..., 2:3] * n)
     else:
         n_mapped = n
 
     if scene.has_emissive:
-        emissive = emissive_factor * tex[..., 12:15]
+        emissive = emissive_factor * tex[..., 9:12]
     else:
         emissive = jnp.zeros_like(base_color)
 
@@ -610,12 +625,13 @@ def _material_shade_tail(scene, bundles, pos, nrm, tan, uv, duvdx, duvdy,
                             duvdy[..., 0], duvdy[..., 1], S, S,
                             bias=lod_bias)
     u, v = uv[..., 0], uv[..., 1]
-    tex = T.sample_packed_trilinear(bundles, bundle_id, u, v, lod, 16)
+    tex = T.sample_packed_lod(bundles, bundle_id, u, v, lod,
+                              MATERIAL_CHANNELS)
     base_tex = tex[..., 0:4]
     base_color = base_factor[..., :3] * base_tex[..., :3]
     if scene.has_mr_textures:
-        metallic = mr_factor[..., 0] * tex[..., 6]
-        roughness = mr_factor[..., 1] * tex[..., 5]
+        metallic = mr_factor[..., 0] * tex[..., 5]
+        roughness = mr_factor[..., 1] * tex[..., 4]
     else:
         metallic = mr_factor[..., 0]
         roughness = mr_factor[..., 1]
@@ -623,13 +639,13 @@ def _material_shade_tail(scene, bundles, pos, nrm, tan, uv, duvdx, duvdy,
     if scene.has_normal_maps:
         t3 = _normalize(tan[..., :3])
         b = jnp.cross(n, t3) * tan[..., 3:4]
-        tn = tex[..., 8:11] * 2.0 - 1.0
+        tn = tex[..., 6:9] * 2.0 - 1.0
         n_mapped = _normalize(tn[..., 0:1] * t3 + tn[..., 1:2] * b
                               + tn[..., 2:3] * n)
     else:
         n_mapped = n
     if scene.has_emissive:
-        emissive = emissive_factor * tex[..., 12:15]
+        emissive = emissive_factor * tex[..., 9:12]
     else:
         emissive = jnp.zeros_like(base_color)
     alpha = base_factor[..., 3] * base_tex[..., 3]

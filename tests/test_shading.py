@@ -279,3 +279,40 @@ def test_pcf_patch_matches_per_tap():
     a = pcf_wide(sm, u, v, ref)
     b = pcf_wide_ref(sm, u, v, ref)
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_packed_lod_strip_matches_trilinear():
+    """One-gather LOD strip (build_packed_lod_strip_np): exact at
+    integer lods; within a coarse-tap tolerance of true trilinear at
+    fractional lods (ops/texture.py gather-economics rationale)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from granite_tpu.ops.texture import (
+        build_packed_lod_strip_np, build_packed_strip_np,
+        sample_packed_lod, sample_packed_trilinear,
+    )
+    rng = np.random.RandomState(9)
+    img = rng.rand(32, 32, 12).astype(np.float32)
+    lod_strip = jnp.asarray(build_packed_lod_strip_np(img,
+                                                      dtype="float32"))
+    tri_strip = jnp.asarray(build_packed_strip_np(img, dtype="float32"))
+    u = jnp.asarray(rng.rand(64).astype(np.float32))
+    v = jnp.asarray(rng.rand(64).astype(np.float32))
+    tid = jnp.zeros(64, jnp.int32)
+
+    for lod_i in (0.0, 1.0, 2.0):
+        a = sample_packed_lod(lod_strip[None], tid, u, v,
+                              jnp.full(64, lod_i), 12)
+        b = sample_packed_trilinear(tri_strip[None], tid, u, v,
+                                    jnp.full(64, lod_i), 12)
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5), lod_i
+
+    a = sample_packed_lod(lod_strip[None], tid, u, v,
+                          jnp.full(64, 0.5), 12)
+    b = sample_packed_trilinear(tri_strip[None], tid, u, v,
+                                jnp.full(64, 0.5), 12)
+    # Coarse tap frozen to the fine texel grid: bounded approximation.
+    err = np.abs(np.asarray(a) - np.asarray(b)).max()
+    assert err < 0.15, err
+    mean_err = np.abs(np.asarray(a) - np.asarray(b)).mean()
+    assert mean_err < 0.03, mean_err
