@@ -18,6 +18,10 @@ import os
 
 def run_mode(args, mode: str, outdir: str):
     cfg = {"postAA": mode, "shadowMapResolution": 256}
+    if mode == "taaFSR2":
+        # FSR2 renders at reduced resolution and upscales to display
+        # (temporal.hpp:91 scaling_factor contract).
+        cfg["resolutionScale"] = args.fsr2_scale
     cfg_path = os.path.join(outdir, f"cfg_{mode}.json")
     json.dump(cfg, open(cfg_path, "w"))
     stat = os.path.join(outdir, f"stat_{mode}.json")
@@ -35,7 +39,9 @@ def run_mode(args, mode: str, outdir: str):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes", nargs="+",
-                    default=["none", "fxaa", "taa", "smaa"])
+                    default=["none", "fxaa", "taa", "smaa", "smaaT2X",
+                             "taaFSR2"])
+    ap.add_argument("--fsr2-scale", type=float, default=0.67)
     ap.add_argument("--scene", default=None)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--width", type=int, default=640)
