@@ -52,6 +52,7 @@ class ViewerConfig:
     directional_light_cascaded_shadows: bool = False
     directional_light_shadows_vsm: bool = False
     clustered_lights_shadows: bool = True
+    clustered_lights_shadows_vsm: bool = False
     clustered_lights_shadow_resolution: int = 512
     # The reference declares ssao=true but hard-disables it in the main
     # pass (scene_viewer_application.cpp:763-764 `use_ssao = false`);
@@ -60,6 +61,9 @@ class ViewerConfig:
     ssao: bool = False
     ssr: bool = False
     volumetric_fog: bool = False
+    # Local fog-region volumes (scene_viewer_application.cpp:311-320
+    # creates one 40-unit region at (0, 20, 0) when both knobs are on).
+    volumetric_fog_regions: bool = False
     # Volumetric decals exist but ship disabled in the reference viewer
     # (set_enable_volumetric_decals(false),
     # scene_viewer_application.cpp:450); same default here.
@@ -111,11 +115,13 @@ class ViewerConfig:
             "directionalLightShadowsVSM":
                 "directional_light_shadows_vsm",
             "clusteredLightsShadows": "clustered_lights_shadows",
+            "clusteredLightsShadowsVSM": "clustered_lights_shadows_vsm",
             "clusteredLightsShadowsResolution":
                 "clustered_lights_shadow_resolution",
             "ssao": "ssao",
             "ssr": "ssr",
             "volumetricFog": "volumetric_fog",
+            "volumetricFogRegions": "volumetric_fog_regions",
             "volumetricDecals": "volumetric_decals",
             "volumetricDiffuse": "volumetric_diffuse",
             "volumetricDiffuseResolution": "volumetric_diffuse_resolution",
@@ -139,9 +145,33 @@ class ViewerConfig:
             "showUi": "show_ui",
             "occlusionCulling": "occlusion_culling",
         }
+        # Vulkan-pipeline knobs that the XLA design satisfies BY
+        # CONSTRUCTION (scene_viewer_application.cpp:164-300 reads them
+        # to steer barriers/subpasses/queues that don't exist here):
+        # accepted silently with the reason logged once at info level.
+        by_design = {
+            "mergeSubpasses": "XLA fuses passes automatically",
+            "useTransientColor": "XLA buffer assignment owns transients",
+            "useTransientDepthStencil":
+                "XLA buffer assignment owns transients",
+            "renderGraphForceSingleQueue":
+                "one fused program = one queue",
+            "queueWaitOnSubmission": "dispatch order is data-driven",
+            "useAsyncComputePost":
+                "ASYNC_COMPUTE queue tags already overlap post",
+            "forceNoSubgroups": "no subgroup model on the VPU",
+            "forceNoSubgroupShuffle": "no subgroup model on the VPU",
+            "forceNoSubgroupSizeControl": "no subgroup model on the VPU",
+            "instanceDeferredLights":
+                "clustered shading covers light volumes",
+            "timestamp": "per-pass device timings are always available",
+        }
         for k, v in doc.items():
             if k in mapping:
                 setattr(cfg, mapping[k], v)
+            elif k in by_design:
+                LOGI("config key '%s'=%s satisfied by design (%s)",
+                     k, v, by_design[k])
             else:
                 cfg.unsupported[k] = v
                 LOGW("config key '%s' not yet supported; ignored", k)
@@ -560,6 +590,15 @@ class SceneViewerApplication(Application):
         self._vol_diffuse = None
         if self.config.volumetric_diffuse:
             self._bake_diffuse_volumes()
+        if self.config.volumetric_fog_regions and \
+                self.config.volumetric_fog and \
+                not self.scene.fog_region_node:
+            # Default region like the reference viewer
+            # (scene_viewer_application.cpp:311-320: scale 40 at y=20).
+            node = self.scene.create_node(translation=(0.0, 20.0, 0.0),
+                                          scale=(40.0, 40.0, 40.0))
+            self.scene.create_volumetric_fog_region(node)
+            self.scene.update_transform_tree()
         if self._has_decals and getattr(self, "_decal_strips", None) \
                 is None:
             from ..ops.decals import build_decal_strips, builtin_decal_image
@@ -1221,11 +1260,20 @@ class SceneViewerApplication(Application):
                 self.config.directional_light_shadows_vsm:
             shadow = ctx.input("shadow-depth")
             uv_mat = p["shadow_uv_mat"]
+        regions = None
+        if self.config.volumetric_fog_regions and \
+                self.scene.fog_region_node:
+            from ..renderer.volumetric_diffuse import volume_transforms
+            regions = []
+            for node, vol in zip(self.scene.fog_region_node,
+                                 self.scene.fog_region_volume):
+                w2t, _ = volume_transforms(self.scene.world[node])
+                regions.append((w2t, vol))
         ld = fog_light_density(
             p["inv_view_proj"], self.camera.get_projection(),
             p["camera_pos"], p["sun_dir"], p["sun_color"],
             shadow_map=shadow, shadow_uv_mat=uv_mat,
-            lights=p.get("lights"))
+            lights=p.get("lights"), regions=regions)
         return {"fog-volume": fog_accumulate(ld)}
 
     def _apply_fog(self, ctx, color, depth):
@@ -1376,7 +1424,9 @@ class SceneViewerApplication(Application):
         self._cluster_shadow = None
         if not (self._has_lights and self.config.clustered_lights_shadows):
             return
-        from ..ops.light_shadows import assign_slices, pack_atlas
+        from ..ops.light_shadows import (
+            assign_slices, pack_atlas, pack_atlas_vsm,
+        )
         self.scene.update_transform_tree()
         self.scene.update_cached_transforms()
         infos = self._positional_light_infos()
@@ -1407,8 +1457,10 @@ class SceneViewerApplication(Application):
                 slices.append(rsm(world, jnp.asarray(vps[si + f]), mask))
             si += nslices
         atlas = jnp.stack(slices)
+        pack = pack_atlas_vsm if self.config.clustered_lights_shadows_vsm \
+            else pack_atlas
         self._cluster_shadow = {
-            "atlas_flat": pack_atlas(atlas),
+            "atlas_flat": pack(atlas),
             "vps_np": vps, "size": size,
             "light_slice_np": slice_np, "light_kind_np": kind_np,
             "light_pos_np": np.stack([li["pos"] for li in infos]),

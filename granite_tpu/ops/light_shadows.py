@@ -103,6 +103,18 @@ def pack_atlas(slices: jax.Array) -> jax.Array:
     return packed.reshape(NS * S * S, 4)
 
 
+def pack_atlas_vsm(slices: jax.Array) -> jax.Array:
+    """VSM variant (clusteredLightsShadowsVSM; clusterer.hpp
+    ShadowType::VSM): (NS, S, S) depth slices -> blurred moment pairs,
+    quad-packed to (NS*S*S, 8) — one gather returns the filterable 2x2
+    (m1, m2) footprint."""
+    from .shadow import vsm_moments
+    from .texture import quad_pack2d
+    NS, S, _ = slices.shape
+    packed = jax.vmap(lambda s: quad_pack2d(vsm_moments(s)))(slices)
+    return packed.reshape(NS * S * S, 8)
+
+
 def _face_index(d):
     """Dominant-axis cube face: matches FACE_DIRS order."""
     ax, ay, az = jnp.abs(d[..., 0]), jnp.abs(d[..., 1]), jnp.abs(d[..., 2])
@@ -194,14 +206,27 @@ def topk_shadow_terms(atlas_flat, vps_np, size: int, num_lights: int,
             slot_in[s] = jnp.where(place, inside, slot_in[s])
         taken = taken + active.astype(jnp.int32)
 
+    vsm = atlas_flat.shape[-1] == 8
     terms = []
     for s in range(k):
         quad = atlas_flat[slot_flat[s]]              # ONE gather per slot
-        c = (slot_z[s][..., None] >= quad - bias).astype(jnp.float32)
         fx, fy = slot_fx[s], slot_fy[s]
-        top = c[..., 0] * (1 - fx) + c[..., 1] * fx
-        bot = c[..., 2] * (1 - fx) + c[..., 3] * fx
-        term = top * (1 - fy) + bot * fy
+        if vsm:
+            # Filterable moments: bilinear (m1, m2) then Chebyshev
+            # (vsm.h; channels [m1 m2] x [t00 t10 t01 t11]).
+            from .shadow import _vsm_term
+            q = quad.reshape(quad.shape[:-1] + (4, 2))
+            top = q[..., 0, :] * (1 - fx[..., None]) \
+                + q[..., 1, :] * fx[..., None]
+            bot = q[..., 2, :] * (1 - fx[..., None]) \
+                + q[..., 3, :] * fx[..., None]
+            mm = top * (1 - fy[..., None]) + bot * fy[..., None]
+            term = _vsm_term(slot_z[s], mm[..., 0], mm[..., 1])
+        else:
+            c = (slot_z[s][..., None] >= quad - bias).astype(jnp.float32)
+            top = c[..., 0] * (1 - fx) + c[..., 1] * fx
+            bot = c[..., 2] * (1 - fx) + c[..., 3] * fx
+            term = top * (1 - fy) + bot * fy
         term = jnp.where(slot_in[s], term, 1.0)
         terms.append(jnp.where(slot_light[s] >= 0, term, 1.0))
     return jnp.stack(slot_light), jnp.stack(terms)

@@ -41,6 +41,48 @@ def world_to_texture_z(world_z, s):
     return jnp.log2(1.0 + jnp.maximum(world_z, 0.0)) * s
 
 
+def _trilerp3_clamp(vol, local):
+    """Trilinear sample of a (Dz, Hy, Wx) density grid at local [0,1]^3
+    coords (LinearClampSampler semantics); 8 taps — froxel counts are
+    tiny so plain gathers are fine here."""
+    dz, hy, wx = vol.shape
+    x = jnp.clip(local[..., 0] * wx - 0.5, 0, wx - 1)
+    y = jnp.clip(local[..., 1] * hy - 0.5, 0, hy - 1)
+    z = jnp.clip(local[..., 2] * dz - 0.5, 0, dz - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, wx - 1)
+    y1 = jnp.minimum(y0 + 1, hy - 1)
+    z1 = jnp.minimum(z0 + 1, dz - 1)
+    fx, fy, fz = x - x0, y - y0, z - z0
+    c = lambda zi, yi, xi: vol[zi, yi, xi]
+    cx0 = (c(z0, y0, x0) * (1 - fx) + c(z0, y0, x1) * fx,
+           c(z0, y1, x0) * (1 - fx) + c(z0, y1, x1) * fx)
+    cx1 = (c(z1, y0, x0) * (1 - fx) + c(z1, y0, x1) * fx,
+           c(z1, y1, x0) * (1 - fx) + c(z1, y1, x1) * fx)
+    cy0 = cx0[0] * (1 - fy) + cx0[1] * fy
+    cy1 = cx1[0] * (1 - fy) + cx1[1] * fy
+    return cy0 * (1 - fz) + cy1 * fz
+
+
+def region_fog_density(pos, regions):
+    """compute_fog_density with FOG_REGIONS
+    (fog_light_density.comp:20-60): per-froxel sum over unit-box
+    regions of fade_coeff(local) * density-volume sample; fade ramps to
+    0 over the outer 1/16 of the box (8*(0.5-max|local-0.5|))."""
+    wp1 = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], axis=-1)
+    density = jnp.zeros(pos.shape[:-1], jnp.float32)
+    for w2t, vol in regions:
+        local = wp1 @ jnp.asarray(w2t).T
+        xmax = jnp.abs(local - 0.5).max(-1)
+        fade = jnp.clip(8.0 * (0.5 - xmax), 0.0, 1.0)
+        if vol is not None:
+            fade = fade * _trilerp3_clamp(jnp.asarray(vol), local)
+        density = density + fade
+    return density
+
+
 def fog_light_density(inv_view_proj, proj, camera_pos, sun_dir, sun_color,
                       shadow_map=None, shadow_uv_mat=None,
                       lights=None,
@@ -48,7 +90,7 @@ def fog_light_density(inv_view_proj, proj, camera_pos, sun_dir, sun_color,
                       z_range: float = DEFAULT_Z_RANGE,
                       density_mod: float = DEFAULT_DENSITY_MOD,
                       inscatter_mod: float = DEFAULT_INSCATTER_MOD,
-                      fog_density: float = 0.1):
+                      fog_density: float = 0.1, regions=None):
     """-> (D, H, W, 4) light-density volume: rgb = in-scattered light,
     a = extinction albedo (fog_light_density.comp)."""
     D, H, W = grid
@@ -105,13 +147,18 @@ def fog_light_density(inv_view_proj, proj, camera_pos, sun_dir, sun_color,
             acc = acc + color * (ph * alive)[..., None]
         light = light + acc
 
-    # albedo = density_mod * slice_extent * length_mod * fog_density
-    # (get_fog_albedo x compute_fog_density; the latter is 0.1 in the
-    # reference's uniform-fog path — fog regions are future work).
+    # albedo = density_mod * slice_extent * length_mod * density
+    # (get_fog_albedo x compute_fog_density: the constant 0.1
+    # uniform-fog path, or the FOG_REGIONS per-froxel sum when region
+    # volumes are present — matching the reference's #ifdef split).
     xs = 1.0 / abs(float(proj[0, 0]))
     ys = 1.0 / abs(float(proj[1, 1]))
     length_mod = jnp.sqrt(1.0 + (ndc_x * xs) ** 2 + (ndc_y * ys) ** 2)
-    albedo = density_mod * fog_density * extents[:, None, None] \
+    if regions is not None:
+        dens = region_fog_density(pos, regions)          # (D, H, W)
+    else:
+        dens = jnp.full((D, H, W), fog_density, jnp.float32)
+    albedo = density_mod * dens * extents[:, None, None] \
         * length_mod[None]
     return jnp.concatenate([light * inscatter_mod,
                             albedo[..., None]], axis=-1)

@@ -139,6 +139,12 @@ class Scene:
         self.diffuse_volume_node: list[int] = []
         self.diffuse_volume_res: list[tuple] = []
         self.diffuse_volume_entity: list = []
+        # Volumetric fog regions (scene.cpp create_volumetric_fog_region,
+        # lights/volumetric_fog_region.hpp): unit boxes with an optional
+        # (D, H, W) density grid.
+        self.fog_region_node: list[int] = []
+        self.fog_region_volume: list = []
+        self.fog_region_entity: list = []
 
     # -- node management --------------------------------------------------------
     def _grow_nodes(self) -> None:
@@ -301,6 +307,20 @@ class Scene:
         e.allocate_component(VolumetricDecalComponent, idx)
         e.allocate_component(TransformComponent, node)
         self.decal_entity.append(e)
+        return idx
+
+    def create_volumetric_fog_region(self, node: int,
+                                     density_volume=None) -> int:
+        """Attach a unit-box fog region to `node`
+        (Scene::create_volumetric_fog_region).  density_volume: optional
+        (D, H, W) float grid sampled in the region's texture space
+        (VolumetricFogRegion::set_volume); None = constant 1."""
+        idx = len(self.fog_region_node)
+        self.fog_region_node.append(node)
+        self.fog_region_volume.append(density_volume)
+        e = self.entity_pool.create_entity()
+        e.allocate_component(TransformComponent, node)
+        self.fog_region_entity.append(e)
         return idx
 
     def create_volumetric_diffuse_light(self, resolution, node: int) -> int:

@@ -112,3 +112,44 @@ def test_topk_slots_ignore_shadowless_lights():
         np.zeros((1, 3), np.float32), masks, wp, k=2)
     assert (np.asarray(slots) == -1).all()
     assert np.allclose(np.asarray(terms), 1.0)
+
+
+def test_vsm_atlas_matches_pcf_occlusion():
+    """clusteredLightsShadowsVSM: the VSM atlas (filterable moments +
+    Chebyshev) agrees with the PCF atlas on fully-lit and fully-occluded
+    pixels."""
+    import numpy as np
+    import jax.numpy as jnp
+    from granite_tpu.ops.light_shadows import (
+        assign_slices, pack_atlas, pack_atlas_vsm, topk_shadow_terms,
+    )
+    S = 32
+    infos = [{"pos": np.array([0.0, 2.0, 0.0], np.float32),
+              "dir": np.array([0.0, -1.0, 0.0], np.float32),
+              "radius": 10.0, "outer": 0.7, "is_spot": True}]
+    vps, slice_np, kind_np = assign_slices(infos)
+    # Synthetic slice: left half holds a NEAR occluder (reverse-Z: big),
+    # right half empty (0).
+    depth = np.zeros((1, S, S), np.float32)
+    depth[0, :, :S // 2] = 0.9
+    masks = jnp.full((2, 1, 1), 1, jnp.uint32)       # light 0 active
+    # Two world points: one under the occluder (shadowed), one lit.
+    # Build from light space: inverse-project uv (.25,.5) and (.75,.5)
+    # at a FAR depth (reverse-Z small).
+    inv = np.linalg.inv(vps[0])
+
+    def world_at(u, v, z):
+        ndc = np.array([2 * u - 1, 2 * v - 1, z, 1.0], np.float32)
+        p = inv @ ndc
+        return p[:3] / p[3]
+    pts = jnp.asarray(np.stack([world_at(0.25, 0.5, 0.05),
+                                world_at(0.75, 0.5, 0.05)])[None])
+    pos_np = np.stack([infos[0]["pos"]])
+    for packer in (pack_atlas, pack_atlas_vsm):
+        atlas = packer(jnp.asarray(depth))
+        slots, terms = topk_shadow_terms(
+            atlas, vps, S, 1, slice_np, kind_np, pos_np,
+            masks.transpose(1, 2, 0), pts, k=1)
+        t = np.asarray(terms[0][0])
+        assert t[0] < 0.2, (packer.__name__, t)     # occluded
+        assert t[1] > 0.9, (packer.__name__, t)     # lit

@@ -52,3 +52,55 @@ def test_fog_volume_and_apply():
     t_near = float(np.asarray(vol[..., 3]).mean(axis=(1, 2))[2])
     t_far = float(np.asarray(vol[..., 3]).mean(axis=(1, 2))[-1])
     assert t_far < t_near
+
+
+def test_fog_regions_density():
+    """FOG_REGIONS density (fog_light_density.comp:20-60): fade-edged
+    unit boxes, optional density grid, sum over regions."""
+    import numpy as np
+    from granite_tpu.ops.volumetric_fog import region_fog_density
+    w2t = np.zeros((3, 4), np.float32)     # world == texture space box
+    w2t[0, 0] = w2t[1, 1] = w2t[2, 2] = 1.0
+    pos = jnp.asarray([[0.5, 0.5, 0.5],    # center -> fade 1
+                       [0.97, 0.5, 0.5],   # in the fade band
+                       [2.0, 0.5, 0.5]])   # outside -> 0
+    d = np.asarray(region_fog_density(pos, [(w2t, None)]))
+    assert abs(d[0] - 1.0) < 1e-5
+    assert 0.0 < d[1] < 1.0
+    assert d[2] == 0.0
+    # density grid modulates (bottom half 0, top half 2)
+    vol = np.zeros((2, 2, 2), np.float32)
+    vol[1] = 2.0                           # z (depth axis) upper half
+    dv = np.asarray(region_fog_density(pos[:1], [(w2t, vol)]))
+    assert abs(dv[0] - 1.0) < 1e-5         # trilerp at center = 1.0
+    # two overlapping regions sum
+    d2 = np.asarray(region_fog_density(pos[:1], [(w2t, None),
+                                                 (w2t, None)]))
+    assert abs(d2[0] - 2.0) < 1e-5
+
+
+def test_viewer_fog_regions_knob():
+    import json
+    import tempfile
+    import types
+    from granite_tpu.app.scene_viewer import SceneViewerApplication
+
+    def render(regions: bool):
+        cfg = {"renderer": "forward", "hdrBloom": False,
+               "shadowMapResolution": 32, "clusteredLightsShadows": False,
+               "volumetricFog": True, "volumetricFogRegions": regions}
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as f:
+            json.dump(cfg, f)
+            path = f.name
+        app = SceneViewerApplication(types.SimpleNamespace(
+            scene=None, config=path, camera_index=-1, bench_scene=False))
+        app.swapchain_updated(96, 54)
+        return np.asarray(app.render_frame(1 / 60, 0.0)).astype(
+            np.float32)
+
+    uniform = render(False)
+    regioned = render(True)
+    assert uniform.shape == regioned.shape
+    # Region-bounded fog differs from uniform fog somewhere on screen.
+    assert np.abs(uniform[..., :3] - regioned[..., :3]).max() > 2
