@@ -79,6 +79,10 @@ class ViewerConfig:
     # skip the fallback-latch warmup).  textureBudgetMB bounds resident
     # decoded textures (set_asset_budget analogue).
     texture_streaming: bool = False
+    # Pallas tile-rect material sampler (ops/tile_sampler): "auto" uses
+    # it on TPU for eligible scenes (S<=512, <=8 bundles, no streaming);
+    # true/false force it.  The classic XLA gather path is the fallback.
+    material_tile_sampler: str = "auto"
     texture_budget_mb: float = 0.0
     # renderTargetFp16: HDR intermediates (lit color, TAA history, bloom
     # chain) stored as f16 (the reference's RT format knob).
@@ -128,6 +132,7 @@ class ViewerConfig:
             "volumetricDiffuseFaceResolution":
                 "volumetric_diffuse_face_resolution",
             "textureStreaming": "texture_streaming",
+            "materialTileSampler": "material_tile_sampler",
             "textureBudgetMB": "texture_budget_mb",
             "renderTargetFp16": "render_target_fp16",
             "rescaleScene": "rescale_scene",
@@ -337,9 +342,15 @@ class SceneViewerApplication(Application):
                      factor)
         budget = int(self.config.texture_budget_mb * 2**20) \
             if self.config.texture_budget_mb > 0 else None
+        mts = self.config.material_tile_sampler
+        import jax as _jax
+        use_tiled = (mts is True or str(mts).lower() == "true"
+                     or (str(mts).lower() == "auto"
+                         and _jax.default_backend() != "cpu"))
+        self._use_tile_sampler = use_tiled
         self.packed: PackedScene = pack_scene(
             info, texture_streaming=self.config.texture_streaming,
-            texture_budget=budget)
+            texture_budget=budget, tile_sampler=use_tiled)
         # Scene buffers ride params as jit arguments, not closure
         # constants (PackedScene.device_arrays) — smaller compiles, and
         # texture streaming can swap bundle contents without a retrace.
@@ -1070,6 +1081,8 @@ class SceneViewerApplication(Application):
                   width=self._rw, height=self._rh,
                   background=None,     # skybox from the environment
                   pcf_wide=self.config.pcf_kernel_wide,
+                  shadow_tiled=(self._use_tile_sampler and
+                                self.config.directional_light_shadows_vsm),
                   env={"strips": p["env_strips"], "sh": p["env_sh"],
                        "levels": self.environment.num_levels,
                        "sky_params": self.environment.sky_params},

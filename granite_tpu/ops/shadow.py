@@ -257,3 +257,31 @@ def sample_cascaded_shadow(shadow_maps, cascade_uv_mats, world_pos,
         w = jnp.clip((1.0 - inside[c]) / 0.1, 0.0, 1.0)  # fade band 10%
         term = term + (terms[c] - term) * w
     return term
+
+
+def sample_vsm_shadow_tiled(moments, shadow_uv_mat, world_pos, covered):
+    """Directional VSM via the tile-rect Pallas sampler.
+
+    Same math as sample_vsm_shadow (vsm.h Chebyshev), but the moment
+    fetch runs through ops/tile_sampler (rect DMA + weighted one-hot
+    MXU matmul) instead of a ~16 ms per-pixel XLA gather: the moments
+    become a clamp-wrapped f32 mip strip (linear moment filtering is
+    exactly what VSM licenses), each screen tile DMAs the moment rect
+    its footprint needs, picking a prefiltered level when the footprint
+    exceeds the rect window (silhouette tiles).
+
+    covered: (H, W) bool — pixels with valid world_pos; others skip the
+    fetch (term 1.0) and do not inflate the tile rects.
+    """
+    import jax.numpy as jnp
+    from .tile_sampler import build_tiled_strip_raw, sample_tiled
+    m = shadow_uv_mat
+    uvw = (world_pos @ m[:3, :3].T) + m[:3, 3]
+    u, v, z = uvw[..., 0], uvw[..., 1], uvw[..., 2]
+    inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (z <= 1.0)
+    strips = build_tiled_strip_raw(moments, wrap=1)
+    bundle = jnp.where(covered & inside, 0, -1).astype(jnp.int32)
+    lod = jnp.zeros_like(u)
+    mm = sample_tiled(strips, u, v, lod, bundle)
+    term = _vsm_term(z, mm[..., 0], mm[..., 1])
+    return jnp.where(inside, term, 1.0)

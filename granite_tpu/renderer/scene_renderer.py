@@ -32,7 +32,7 @@ from ..ops import texture as T
 from ..ops.pbr import compute_lighting
 from ..ops.shadow import sample_directional_shadow
 from ..scene.scene_formats import ALPHA_MODE_BLEND, ALPHA_MODE_MASK, SceneInfo
-from ..utils.logging import LOGI
+from ..utils.logging import LOGI, LOGW
 
 
 @dataclass
@@ -95,12 +95,21 @@ class PackedScene:
     # (assets/streaming.TextureStreamer); None for the eager path.
     streamer: object = None
 
+    # Tile-rect sampler strips (ops/tile_sampler): lane-tiled bf16 mip
+    # strips + coarse fallback block; static meta tuple
+    # (yr_off, size, channels, levels, coarse_level).  None -> classic
+    # XLA gather path.
+    bundles_tiled_strip: Optional[jax.Array] = None
+    bundles_tiled_coarse: Optional[jax.Array] = None
+    tiled_meta: Optional[tuple] = None
+
     DEVICE_FIELDS = ("positions", "normals", "uvs", "tangents", "v_node",
                      "indices", "tri_material", "tri_object",
                      "mat_base_color", "mat_mr", "mat_emissive",
                      "mat_bundle", "mat_alpha", "mat_two_sided",
                      "bundles", "v_joints", "v_weights", "v_morph_inst",
-                     "morph_deltas", "morph_normal_deltas")
+                     "morph_deltas", "morph_normal_deltas",
+                     "bundles_tiled_strip", "bundles_tiled_coarse")
 
     def device_arrays(self) -> dict:
         """The jax.Array fields as a params pytree.
@@ -159,7 +168,8 @@ def build_bundle_strip(images_rgba: list) -> np.ndarray:
 
 def pack_scene(info: SceneInfo, node_of_instance=None,
                texture_size: int = 512, texture_streaming: bool = False,
-               texture_budget=None) -> PackedScene:
+               texture_budget=None,
+               tile_sampler: bool = False) -> PackedScene:
     """Flatten SceneInfo into global device buffers.
 
     Each (node, mesh-primitive) pair becomes an object.  node_of_instance
@@ -228,6 +238,19 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
         bundle_strips = [build_bundle_strip(
             [tb._images[t] for t in key]) for key in bundle_keys]
         bundles = np.stack(bundle_strips)
+
+    tiled = None
+    if tile_sampler and streamer is None:
+        from ..ops.tile_sampler import MAX_S, build_tiled_strips_np
+        S0 = tb.base_size if tb is not None else texture_size
+        if S0 <= MAX_S and len(bundle_keys) <= 8:
+            tiled = build_tiled_strips_np([
+                pack_material_channels([tb._images[t] for t in key])
+                for key in bundle_keys])
+        else:
+            LOGW("tile sampler disabled: S=%d bundles=%d exceed the "
+                 "VMEM-rect limits (classic gather path used)", S0,
+                 len(bundle_keys))
 
     pos_l, nrm_l, uv_l, tan_l, vnode_l = [], [], [], [], []
     idx_l, trimat_l, triobj_l = [], [], []
@@ -382,6 +405,12 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
         has_emissive=any(m.emissive_image is not None
                          or np.any(m.emissive_factor)
                          for m in info.materials),
+        bundles_tiled_strip=(tiled.strip if tiled is not None else None),
+        bundles_tiled_coarse=(tiled.coarse if tiled is not None
+                              else None),
+        tiled_meta=((tiled.yr_off, tiled.size, tiled.channels,
+                     tiled.levels, tiled.coarse_level)
+                    if tiled is not None else None),
     )
     LOGI("PackedScene: %d verts, %d tris, %d objects, %d materials, "
          "%d textures%s, %d bundles (%.1f MB f16)", len(positions),
@@ -619,14 +648,32 @@ def _material_shade_tail(scene, bundles, pos, nrm, tan, uv, duvdx, duvdy,
                          base_factor, mr_factor, bundle_id,
                          emissive_factor, covered, lod_bias, prev_pos=None):
     """Texture fetch + normal mapping tail shared by the classic resolve
-    and the fused-kernel plane path."""
-    S = bundles.shape[2]
+    and the fused-kernel plane path.
+
+    When the scene carries tile-rect strips (ops/tile_sampler) and the
+    streaming override isn't active, the fetch runs through the Pallas
+    tile sampler (rect DMA + one-hot MXU fetch) instead of the per-pixel
+    XLA gather — same quad+parent trilinear, ~6x cheaper at 1080p."""
+    use_tiled = (scene.bundles_tiled_strip is not None
+                 and bundles is scene.bundles)
+    S = scene.tiled_meta[1] if use_tiled else bundles.shape[2]
     lod = T.lod_from_derivs(duvdx[..., 0], duvdx[..., 1],
                             duvdy[..., 0], duvdy[..., 1], S, S,
                             bias=lod_bias)
     u, v = uv[..., 0], uv[..., 1]
-    tex = T.sample_packed_lod(bundles, bundle_id, u, v, lod,
-                              MATERIAL_CHANNELS)
+    if use_tiled:
+        from ..ops.tile_sampler import TiledStrips, sample_tiled
+        yr_off, size, ch, levels, cl = scene.tiled_meta
+        strips = TiledStrips(
+            strip=scene.bundles_tiled_strip,
+            coarse=scene.bundles_tiled_coarse,
+            yr_off=yr_off, size=size, channels=ch, levels=levels,
+            coarse_level=cl)
+        bnd = jnp.where(covered, bundle_id, -1)
+        tex = sample_tiled(strips, u, v, lod, bnd)
+    else:
+        tex = T.sample_packed_lod(bundles, bundle_id, u, v, lod,
+                                  MATERIAL_CHANNELS)
     base_tex = tex[..., 0:4]
     base_color = base_factor[..., :3] * base_tex[..., :3]
     if scene.has_mr_textures:
@@ -705,7 +752,8 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
                   background=None, pcf_wide: bool = False,
                   z_near: float = 0.1, z_far: float = 1000.0,
                   cluster_tile: int = 64, env=None,
-                  cluster_shadows=None, ao=None, vol_diffuse=None):
+                  cluster_shadows=None, ao=None, vol_diffuse=None,
+                  shadow_tiled: bool = False):
     """Lighting from resolved surface attributes: directional + shadow +
     clustered positional lights + emissive (lighting.h compute_lighting +
     compute_cluster_light).  Used by both forward and deferred paths —
@@ -722,8 +770,17 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
     if shadow_map is not None:
         if shadow_map.ndim == 3 and shadow_map.shape[-1] == 2:
             # (S, S, 2) VSM moments (vsm.h path).
-            from ..ops.shadow import sample_vsm_shadow
-            shadow_term = sample_vsm_shadow(shadow_map, shadow_uv_mat, pos)
+            if shadow_tiled:
+                # Pallas tile-rect moment fetch (ops/tile_sampler):
+                # ~16 ms XLA gather -> ~1-2 ms rect DMA + weighted
+                # one-hot matmul; bit-exact where tiles fit at level 0.
+                from ..ops.shadow import sample_vsm_shadow_tiled
+                shadow_term = sample_vsm_shadow_tiled(
+                    shadow_map, shadow_uv_mat, pos, surf["covered"])
+            else:
+                from ..ops.shadow import sample_vsm_shadow
+                shadow_term = sample_vsm_shadow(shadow_map, shadow_uv_mat,
+                                                pos)
         elif shadow_map.ndim == 3:
             # (C, S, S) cascades with (C, 4, 4) uv transforms.
             from ..ops.shadow import sample_cascaded_shadow
