@@ -68,6 +68,9 @@ def get_lib() -> ctypes.CDLL:
     lib.decode_bc6h.argtypes = [u8p, f32p, ctypes.c_int, ctypes.c_int,
                                 ctypes.c_int]
     lib.decode_bc6h.restype = None
+    lib.decode_astc.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_int, ctypes.c_int]
+    lib.decode_astc.restype = None
     lib.radix_sort_u64.argtypes = [u64p, u32p, ctypes.c_int]
     lib.radix_sort_u64.restype = None
     lib.gtpx_write_header.argtypes = [u8p] + [ctypes.c_uint32] * 5
@@ -87,7 +90,9 @@ def decode_blocks(fmt: str, data: np.ndarray, width: int,
     """Decode a block-compressed level to (H, W, 4) uint8.
 
     Formats: bc1/bc3/bc4/bc5/bc7, etc2 (RGB8), etc2a (RGB8A8),
-    etc2p (punchthrough RGB8A1), eac_r11, eac_rg11
+    etc2p (punchthrough RGB8A1), eac_r11, eac_rg11, and
+    astc_WxH for any legal 2D footprint (e.g. "astc_4x4", "astc_8x6";
+    LDR profile — HDR blocks decode to the spec error color)
     (texture_decoder.cpp:30-120 format coverage)."""
     lib = get_lib()
     data = np.ascontiguousarray(data, np.uint8)
@@ -98,6 +103,9 @@ def decode_blocks(fmt: str, data: np.ndarray, width: int,
     elif fmt in ("eac_r11", "eac_rg11"):
         lib.decode_eac(_u8(data), _u8(out), width, height,
                        1 if fmt == "eac_r11" else 2)
+    elif fmt.startswith("astc_"):
+        bw, bh = (int(t) for t in fmt[5:].split("x"))
+        lib.decode_astc(_u8(data), _u8(out), width, height, bw, bh)
     else:
         getattr(lib, f"decode_{fmt}")(_u8(data), _u8(out), width, height)
     return out
@@ -179,6 +187,12 @@ GTPX_FORMATS = {"rgba8": 0, "bc1": 1, "bc3": 3, "bc4": 4,
                 "bc5": 5, "bc7": 7, "etc2": 8, "etc2a": 9,
                 "etc2p": 10, "eac_r11": 11, "eac_rg11": 12,
                 "bc6h": 13, "bc6h_s": 14}
+# ASTC LDR, all 14 legal 2D footprints (texture_decoder.cpp:30-120).
+GTPX_FORMATS.update({
+    f"astc_{w}x{h}": 16 + i for i, (w, h) in enumerate(
+        [(4, 4), (5, 4), (5, 5), (6, 5), (6, 6), (8, 5), (8, 6),
+         (8, 8), (10, 5), (10, 6), (10, 8), (10, 10), (12, 10),
+         (12, 12)])})
 
 
 def gtpx_save(path: str, payload: bytes, fmt: str, width: int, height: int,

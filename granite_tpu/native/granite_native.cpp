@@ -1223,3 +1223,717 @@ void decode_bc6h(const uint8_t *src, float *dst, int width, int height,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// ASTC LDR decoder (all 2D block sizes 4x4..12x12).
+//
+// Implements the Khronos ASTC specification's decode procedure (the same
+// algorithm the reference executes on the GPU in
+// assets/shaders/decode/astc.comp with LUTs from
+// vulkan/texture/texture_decoder.cpp:690 init_trits_quints etc.).  All
+// constant tables below (trit/quint packings, unquantization A/B/C/D
+// multipliers, the partition hash) are normative spec constants.
+// HDR endpoint modes (2,3,7,11,14,15) decode to the error color in this
+// LDR-profile decoder, as the spec allows; output is UNORM8 RGBA
+// (decode_unorm8 extension semantics, which the engine's u8 texture path
+// uses).
+// ===========================================================================
+
+namespace astc {
+
+struct QuantMode { uint8_t bits, trits, quints; };
+
+static inline int qm_range(const QuantMode &m) {
+    int r = 1 << m.bits;
+    if (m.trits) r *= 3;
+    if (m.quints) r *= 5;
+    return r == 1 ? 0 : r;
+}
+
+static inline int qm_cost_bits(const QuantMode &m, int n) {
+    // total ISE bits for n values
+    return m.bits * n + (m.quints * 7 * n + 2) / 3 + (m.trits * 8 * n + 4) / 5;
+}
+
+// Weight quantization per block-mode index R (spec weight range table).
+static const QuantMode weight_modes[16] = {
+    {0, 0, 0}, {0, 0, 0},              // invalid
+    {1, 0, 0}, {0, 1, 0}, {2, 0, 0}, {0, 0, 1}, {1, 1, 0}, {3, 0, 0},
+    {0, 0, 0}, {0, 0, 0},              // invalid
+    {1, 0, 1}, {2, 1, 0}, {4, 0, 0}, {2, 0, 1}, {3, 1, 0}, {5, 0, 0},
+};
+
+// Endpoint quantization candidates, largest range first (the decoder
+// picks the largest whose ISE cost fits the remaining bits).
+static const QuantMode color_modes[17] = {
+    {8, 0, 0}, {6, 1, 0}, {5, 0, 1}, {7, 0, 0}, {5, 1, 0}, {4, 0, 1},
+    {6, 0, 0}, {4, 1, 0}, {3, 0, 1}, {5, 0, 0}, {3, 1, 0}, {2, 0, 1},
+    {4, 0, 0}, {2, 1, 0}, {1, 0, 1}, {3, 0, 0}, {1, 1, 0},
+};
+
+// --- spec trit/quint block decode (C.2.12) --------------------------------
+static uint16_t trit_table[256];
+static uint16_t quint_table[128];
+static bool tables_ready = false;
+
+static void build_integer_tables() {
+    for (unsigned T = 0; T < 256; T++) {
+        unsigned C;
+        unsigned t0, t1, t2, t3, t4;
+        if (((T >> 2) & 7) == 7) {
+            C = (((T >> 5) & 7) << 2) | (T & 3);
+            t4 = t3 = 2;
+        } else {
+            C = T & 0x1f;
+            if (((T >> 5) & 3) == 3) { t4 = 2; t3 = (T >> 7) & 1; }
+            else { t4 = (T >> 7) & 1; t3 = (T >> 5) & 3; }
+        }
+        if ((C & 3) == 3) {
+            t2 = 2;
+            t1 = (C >> 4) & 1;
+            unsigned c3 = (C >> 3) & 1, c2 = (C >> 2) & 1;
+            t0 = (c3 << 1) | (c2 & ~c3 & 1);
+        } else if (((C >> 2) & 3) == 3) {
+            t2 = 2; t1 = 2; t0 = C & 3;
+        } else {
+            t2 = (C >> 4) & 1;
+            t1 = (C >> 2) & 3;
+            unsigned c1 = (C >> 1) & 1, c0 = C & 1;
+            t0 = (c1 << 1) | (c0 & ~c1 & 1);
+        }
+        trit_table[T] = (uint16_t)(t0 | (t1 << 3) | (t2 << 6) |
+                                   (t3 << 9) | (t4 << 12));
+    }
+    for (unsigned Q = 0; Q < 128; Q++) {
+        unsigned C;
+        unsigned q0, q1, q2;
+        if (((Q >> 1) & 3) == 3 && ((Q >> 5) & 3) == 0) {
+            unsigned q0b = Q & 1, q4 = (Q >> 4) & 1, q3 = (Q >> 3) & 1;
+            q2 = (q0b << 2) | (((q4 & ~q0b) & 1) << 1) | ((q3 & ~q0b) & 1);
+            q1 = q0 = 4;
+        } else {
+            if (((Q >> 1) & 3) == 3) {
+                q2 = 4;
+                C = (((Q >> 3) & 3) << 3) | (((~(Q >> 5)) & 3) << 1) |
+                    (Q & 1);
+            } else {
+                q2 = (Q >> 5) & 3;
+                C = Q & 0x1f;
+            }
+            if ((C & 7) == 5) { q1 = 4; q0 = (C >> 3) & 3; }
+            else { q1 = (C >> 3) & 3; q0 = C & 7; }
+        }
+        quint_table[Q] = (uint16_t)(q0 | (q1 << 3) | (q2 << 6));
+    }
+    tables_ready = true;
+}
+
+// --- 128-bit block bit access ---------------------------------------------
+struct Block {
+    uint8_t b[16];
+    int get(int pos, int n) const {
+        // little-endian bit numbering across the 16 bytes
+        unsigned v = 0;
+        for (int i = 0; i < n; i++) {
+            int p = pos + i;
+            if (p < 0 || p >= 128) continue;
+            v |= (unsigned)((b[p >> 3] >> (p & 7)) & 1) << i;
+        }
+        return (int)v;
+    }
+    int get_rev(int pos_from_top, int n) const {
+        // n bits ending at bit 127 - pos_from_top, reversed order
+        // (weights are stored from the top of the block, bit-reversed)
+        unsigned v = 0;
+        for (int i = 0; i < n; i++) {
+            int p = 127 - (pos_from_top + i);
+            if (p < 0 || p >= 128) continue;
+            v |= (unsigned)((b[p >> 3] >> (p & 7)) & 1) << i;
+        }
+        return (int)v;
+    }
+};
+
+// ISE decode of value `index` from a bit-reversed-at-top stream is
+// handled by pre-extracting the weight stream into a forward buffer;
+// endpoints read forward from the block directly.
+struct BitSource {
+    const uint8_t *bits;     // packed LSB-first
+    int base;                // start bit
+    int limit;               // one past last valid bit (reads beyond = 0)
+    int get(int pos, int n) const {
+        unsigned v = 0;
+        for (int i = 0; i < n; i++) {
+            int p = base + pos + i;
+            if (p >= limit) continue;
+            v |= (unsigned)((bits[p >> 3] >> (p & 7)) & 1) << i;
+        }
+        return (int)v;
+    }
+};
+
+static int ise_decode(const BitSource &src, int index, const QuantMode &q) {
+    if (q.trits) {
+        int block = index / 5;
+        int off = index - block * 5;
+        int sb = block * (5 * q.bits + 8);
+        int T = src.get(sb + q.bits * 1 + 0, 2) |
+                (src.get(sb + q.bits * 2 + 2, 2) << 2) |
+                (src.get(sb + q.bits * 3 + 4, 1) << 4) |
+                (src.get(sb + q.bits * 4 + 5, 2) << 5) |
+                (src.get(sb + q.bits * 5 + 7, 1) << 7);
+        int t = (trit_table[T] >> (3 * off)) & 7;
+        if (!q.bits) return t;
+        int m_off = off * q.bits + (off * 8 + 4) / 5;
+        int m = src.get(sb + m_off, q.bits);
+        return (t << q.bits) | m;
+    }
+    if (q.quints) {
+        int block = index / 3;
+        int off = index - block * 3;
+        int sb = block * (3 * q.bits + 7);
+        int Q = src.get(sb + q.bits * 1 + 0, 3) |
+                (src.get(sb + q.bits * 2 + 3, 2) << 3) |
+                (src.get(sb + q.bits * 3 + 5, 2) << 5);
+        int qd = (quint_table[Q] >> (3 * off)) & 7;
+        if (!q.bits) return qd;
+        int m_off = off * q.bits + (off * 7 + 2) / 3;
+        int m = src.get(sb + m_off, q.bits);
+        return (qd << q.bits) | m;
+    }
+    return src.get(index * q.bits, q.bits);
+}
+
+// --- unquantization (spec C.2.13/C.2.17) ----------------------------------
+static int unquant_weight(int v, const QuantMode &m) {
+    int out;
+    if (!m.trits && !m.quints) {
+        switch (m.bits) {
+        case 1: out = v * 63; break;
+        case 2: out = v * 0x15; break;
+        case 3: out = v * 9; break;
+        case 4: out = (v << 2) | (v >> 2); break;
+        case 5: out = (v << 1) | (v >> 4); break;
+        default: out = 0; break;
+        }
+    } else if (m.bits == 0) {
+        out = m.trits ? 32 * v : 16 * v;
+    } else {
+        int b = (v >> 1) & 1, c = (v >> 2) & 1;
+        int A = 0x7f * (v & 1);
+        int D = v >> m.bits;
+        int B = 0, C;
+        if (m.trits) {
+            static const int Cs[3] = {50, 23, 11};
+            C = Cs[m.bits - 1];
+            if (m.bits == 2) B = 0x45 * b;
+            else if (m.bits == 3) B = 0x21 * b + 0x42 * c;
+        } else {
+            static const int Cs[2] = {28, 13};
+            C = Cs[m.bits - 1];
+            if (m.bits == 2) B = 0x42 * b;
+        }
+        int unq = (D * C + B) ^ A;
+        out = (A & 0x20) | (unq >> 2);
+    }
+    if (m.bits != 0 && out > 32) out++;     // expand [0,63] -> [0,64]
+    return out;
+}
+
+static int unquant_endpoint(int v, const QuantMode &m) {
+    if (!m.trits && !m.quints) {
+        switch (m.bits) {
+        case 1: return v * 0xff;
+        case 2: return v * 0x55;
+        case 3: return (v << 5) | (v << 2) | (v >> 1);
+        case 4: return v * 0x11;
+        case 5: return (v << 3) | (v >> 2);
+        case 6: return (v << 2) | (v >> 4);
+        case 7: return (v << 1) | (v >> 6);
+        default: return v;
+        }
+    }
+    int b = (v >> 1) & 1, c = (v >> 2) & 1, d = (v >> 3) & 1;
+    int e = (v >> 4) & 1, f = (v >> 5) & 1;
+    int A = (v & 1) * 0x1ff;
+    int D = v >> m.bits;
+    int B = 0, C;
+    if (m.trits) {
+        static const int Cs[6] = {204, 93, 44, 22, 11, 5};
+        C = Cs[m.bits - 1];
+        switch (m.bits) {
+        case 2: B = b * 0x116; break;
+        case 3: B = b * 0x85 + c * 0x10a; break;
+        case 4: B = b * 0x41 + c * 0x82 + d * 0x104; break;
+        case 5: B = b * 0x20 + c * 0x40 + d * 0x81 + e * 0x102; break;
+        case 6: B = b * 0x10 + c * 0x20 + d * 0x40 + e * 0x80 + f * 0x101;
+            break;
+        }
+    } else {
+        static const int Cs[5] = {113, 54, 26, 13, 6};
+        C = Cs[m.bits - 1];
+        switch (m.bits) {
+        case 2: B = b * 0x10c; break;
+        case 3: B = b * 0x82 + c * 0x105; break;
+        case 4: B = b * 0x40 + c * 0x81 + d * 0x102; break;
+        case 5: B = b * 0x20 + c * 0x40 + d * 0x80 + e * 0x101; break;
+        }
+    }
+    int unq = (D * C + B) ^ A;
+    return (A & 0x80) | (unq >> 2);
+}
+
+// --- partition hash (spec C.2.21) -----------------------------------------
+static uint32_t hash52(uint32_t p) {
+    p ^= p >> 15; p -= p << 17; p += p << 7; p += p << 4;
+    p ^= p >> 5;  p += p << 16; p ^= p >> 7; p ^= p >> 3;
+    p ^= p << 6;  p ^= p >> 17;
+    return p;
+}
+
+static int select_partition(int seed, int x, int y, int count,
+                            bool small_block) {
+    if (small_block) { x <<= 1; y <<= 1; }
+    seed += (count - 1) * 1024;
+    uint32_t rnum = hash52((uint32_t)seed);
+    int s[8];
+    for (int i = 0; i < 8; i++) {
+        int v = (int)((rnum >> (4 * i)) & 0xF);
+        s[i] = v * v;
+    }
+    int sh1, sh2;
+    if (seed & 1) { sh1 = (seed & 2) ? 4 : 5; sh2 = (count == 3) ? 6 : 5; }
+    else { sh1 = (count == 3) ? 6 : 5; sh2 = (seed & 2) ? 4 : 5; }
+    for (int i = 0; i < 8; i++) s[i] >>= (i & 1) ? sh2 : sh1;
+    int a = (s[0] * x + s[1] * y + (int)(rnum >> 14)) & 0x3f;
+    int b2 = (s[2] * x + s[3] * y + (int)(rnum >> 10)) & 0x3f;
+    int c2 = (s[4] * x + s[5] * y + (int)(rnum >> 6)) & 0x3f;
+    int d2 = (s[6] * x + s[7] * y + (int)(rnum >> 2)) & 0x3f;
+    if (count < 4) d2 = 0;
+    if (count < 3) c2 = 0;
+    if (a >= b2 && a >= c2 && a >= d2) return 0;
+    if (b2 >= c2 && b2 >= d2) return 1;
+    if (c2 >= d2) return 2;
+    return 3;
+}
+
+}  // namespace astc
+
+namespace astc {
+
+struct BlockInfo {
+    int grid_w, grid_h;
+    int weight_mode;
+    int num_parts;
+    int seed;
+    int cem;
+    int config_bits;          // incl. extra CEM + CCS
+    int primary_config_bits;  // endpoint stream start
+    bool dual_plane;
+    bool void_extent;
+    bool error;
+};
+
+static BlockInfo decode_block_info(const Block &blk) {
+    BlockInfo bi = {};
+    uint32_t lo = (uint32_t)blk.get(0, 16);
+    bi.void_extent = (lo & 0x1ff) == 0x1fc;
+    if (bi.void_extent) return bi;
+
+    bi.dual_plane = (lo >> 10) & 1;
+    uint32_t hi2 = (lo >> 2) & 3;
+
+    if ((lo & 3) != 0) {
+        bi.weight_mode = (int)(((lo >> 4) & 1) | ((lo << 1) & 6) |
+                               ((lo >> 6) & 8));
+        int A = (int)((lo >> 5) & 3);
+        int Bv = (int)((lo >> 7) & 3);
+        if (hi2 < 2) {
+            bi.grid_w = Bv + 4 + 4 * (int)hi2;
+            bi.grid_h = A + 2;
+        } else if (hi2 == 2) {
+            bi.grid_w = A + 2;
+            bi.grid_h = Bv + 8;
+        } else {
+            if (lo & 0x100) { bi.grid_w = ((lo >> 7) & 1) + 2; bi.grid_h = A + 2; }
+            else { bi.grid_w = A + 2; bi.grid_h = ((lo >> 7) & 1) + 6; }
+        }
+    } else {
+        int p3 = (int)((lo >> 9) & 1);
+        int hi = (int)((lo >> 7) & 3);
+        int lo2 = (int)((lo >> 5) & 3);
+        if (hi == 0) { bi.grid_w = 12; bi.grid_h = lo2 + 2; }
+        else if (hi == 1) { bi.grid_w = lo2 + 2; bi.grid_h = 12; }
+        else if (hi == 2) {
+            bi.dual_plane = false;
+            p3 = 0;
+            bi.grid_w = lo2 + 6;
+            bi.grid_h = (int)((lo >> 9) & 3) + 6;
+        } else {
+            if (lo2 == 0) { bi.grid_w = 6; bi.grid_h = 10; }
+            else if (lo2 == 1) { bi.grid_w = 10; bi.grid_h = 6; }
+            else { bi.error = true; return bi; }
+        }
+        bi.weight_mode = (int)(((lo >> 4) & 1) | ((lo >> 1) & 2) |
+                               ((lo >> 1) & 4)) + (p3 << 3);
+    }
+
+    bi.num_parts = blk.get(11, 2) + 1;
+    if (bi.num_parts > 1) {
+        bi.seed = blk.get(13, 10);
+        bi.cem = blk.get(23, 6);
+    } else {
+        bi.cem = blk.get(13, 4);
+    }
+
+    int config;
+    if (bi.num_parts > 1) {
+        bool single = (bi.cem & 3) == 0;
+        config = single ? 29 : (25 + 3 * bi.num_parts);
+        bi.primary_config_bits = 29;
+    } else {
+        config = 17;
+        bi.primary_config_bits = 17;
+    }
+    if (bi.dual_plane) config += 2;
+    bi.config_bits = config;
+
+    if (bi.dual_plane && bi.num_parts > 3) bi.error = true;
+    return bi;
+}
+
+static inline void bit_transfer_signed(int &a, int &b) {
+    b >>= 1;
+    b |= a & 0x80;
+    a >>= 1;
+    a &= 0x3f;
+    if (a & 0x20) a -= 0x40;         // sign-extend 6 bits
+}
+
+static inline void blue_contract(int r, int g, int b, int a, int out[4]) {
+    out[0] = (r + b) >> 1;
+    out[1] = (g + b) >> 1;
+    out[2] = b;
+    out[3] = a;
+}
+
+static inline int clamp255(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
+
+// Returns false for HDR modes (LDR-profile error).
+static bool decode_endpoints_ldr(int cem, const int *v, int ep0[4],
+                                 int ep1[4]) {
+    switch (cem) {
+    case 0:
+        ep0[0] = ep0[1] = ep0[2] = v[0]; ep0[3] = 0xff;
+        ep1[0] = ep1[1] = ep1[2] = v[1]; ep1[3] = 0xff;
+        return true;
+    case 1: {
+        int l0 = (v[0] >> 2) | (v[1] & 0xc0);
+        int l1 = l0 + (v[1] & 0x3f);
+        if (l1 > 0xff) l1 = 0xff;
+        ep0[0] = ep0[1] = ep0[2] = l0; ep0[3] = 0xff;
+        ep1[0] = ep1[1] = ep1[2] = l1; ep1[3] = 0xff;
+        return true;
+    }
+    case 4:
+        ep0[0] = ep0[1] = ep0[2] = v[0]; ep0[3] = v[2];
+        ep1[0] = ep1[1] = ep1[2] = v[1]; ep1[3] = v[3];
+        return true;
+    case 5: {
+        int v0 = v[0], v1 = v[1], v2 = v[2], v3 = v[3];
+        bit_transfer_signed(v1, v0);
+        bit_transfer_signed(v3, v2);
+        ep0[0] = ep0[1] = ep0[2] = clamp255(v0); ep0[3] = clamp255(v2);
+        int l1 = clamp255(v0 + v1);
+        ep1[0] = ep1[1] = ep1[2] = l1; ep1[3] = clamp255(v2 + v3);
+        return true;
+    }
+    case 6:
+        for (int i = 0; i < 3; i++) ep0[i] = (v[i] * v[3]) >> 8;
+        ep0[3] = 0xff;
+        ep1[0] = v[0]; ep1[1] = v[1]; ep1[2] = v[2]; ep1[3] = 0xff;
+        return true;
+    case 8: {
+        int s0 = v[0] + v[2] + v[4], s1 = v[1] + v[3] + v[5];
+        if (s1 >= s0) {
+            ep0[0] = v[0]; ep0[1] = v[2]; ep0[2] = v[4]; ep0[3] = 0xff;
+            ep1[0] = v[1]; ep1[1] = v[3]; ep1[2] = v[5]; ep1[3] = 0xff;
+        } else {
+            blue_contract(v[1], v[3], v[5], 0xff, ep0);
+            blue_contract(v[0], v[2], v[4], 0xff, ep1);
+        }
+        return true;
+    }
+    case 9: {
+        int v0 = v[0], v1 = v[1], v2 = v[2], v3 = v[3], v4 = v[4],
+            v5 = v[5];
+        bit_transfer_signed(v1, v0);
+        bit_transfer_signed(v3, v2);
+        bit_transfer_signed(v5, v4);
+        if (v1 + v3 + v5 >= 0) {
+            ep0[0] = v0; ep0[1] = v2; ep0[2] = v4; ep0[3] = 0xff;
+            ep1[0] = v0 + v1; ep1[1] = v2 + v3; ep1[2] = v4 + v5;
+            ep1[3] = 0xff;
+        } else {
+            blue_contract(v0 + v1, v2 + v3, v4 + v5, 0xff, ep0);
+            blue_contract(v0, v2, v4, 0xff, ep1);
+        }
+        for (int i = 0; i < 3; i++) {
+            ep0[i] = clamp255(ep0[i]);
+            ep1[i] = clamp255(ep1[i]);
+        }
+        return true;
+    }
+    case 10:
+        for (int i = 0; i < 3; i++) ep0[i] = (v[i] * v[3]) >> 8;
+        ep0[3] = v[4];
+        ep1[0] = v[0]; ep1[1] = v[1]; ep1[2] = v[2]; ep1[3] = v[5];
+        return true;
+    case 12: {
+        int s0 = v[0] + v[2] + v[4], s1 = v[1] + v[3] + v[5];
+        if (s1 >= s0) {
+            ep0[0] = v[0]; ep0[1] = v[2]; ep0[2] = v[4]; ep0[3] = v[6];
+            ep1[0] = v[1]; ep1[1] = v[3]; ep1[2] = v[5]; ep1[3] = v[7];
+        } else {
+            blue_contract(v[1], v[3], v[5], v[7], ep0);
+            blue_contract(v[0], v[2], v[4], v[6], ep1);
+        }
+        return true;
+    }
+    case 13: {
+        int v0 = v[0], v1 = v[1], v2 = v[2], v3 = v[3], v4 = v[4],
+            v5 = v[5], v6 = v[6], v7 = v[7];
+        bit_transfer_signed(v1, v0);
+        bit_transfer_signed(v3, v2);
+        bit_transfer_signed(v5, v4);
+        bit_transfer_signed(v7, v6);
+        if (v1 + v3 + v5 >= 0) {
+            ep0[0] = v0; ep0[1] = v2; ep0[2] = v4; ep0[3] = v6;
+            ep1[0] = v0 + v1; ep1[1] = v2 + v3; ep1[2] = v4 + v5;
+            ep1[3] = v6 + v7;
+        } else {
+            blue_contract(v0 + v1, v2 + v3, v4 + v5, v6 + v7, ep0);
+            blue_contract(v0, v2, v4, v6, ep1);
+        }
+        for (int i = 0; i < 4; i++) {
+            ep0[i] = clamp255(ep0[i]);
+            ep1[i] = clamp255(ep1[i]);
+        }
+        return true;
+    }
+    default:
+        return false;                 // HDR modes: LDR-profile error
+    }
+}
+
+}  // namespace astc
+
+namespace astc {
+
+static void emit_error(uint8_t *px) {
+    px[0] = 0xff; px[1] = 0; px[2] = 0xff; px[3] = 0xff;
+}
+
+// Decode one block into dst (bw*bh RGBA8 texels, row stride = bw*4).
+static void decode_block(const uint8_t *src, uint8_t *dst, int bw, int bh) {
+    Block blk;
+    for (int i = 0; i < 16; i++) blk.b[i] = src[i];
+    const int n_px = bw * bh;
+
+    BlockInfo bi = decode_block_info(blk);
+
+    if (bi.void_extent) {
+        bool hdr = (blk.get(9, 1) != 0);
+        bool bad = blk.get(10, 2) != 3;
+        int mins = blk.get(12, 13), maxs = blk.get(25, 13);
+        int mint = blk.get(38, 13), maxt = blk.get(51, 13);
+        bool all1 = mins == 0x1fff && maxs == 0x1fff &&
+                    mint == 0x1fff && maxt == 0x1fff;
+        if (!all1 && (mins >= maxs || mint >= maxt)) bad = true;
+        if (hdr || bad) {
+            for (int i = 0; i < n_px; i++) emit_error(dst + 4 * i);
+            return;
+        }
+        uint8_t c[4];
+        for (int ch = 0; ch < 4; ch++)
+            c[ch] = (uint8_t)(blk.get(64 + 16 * ch, 16) >> 8);
+        for (int i = 0; i < n_px; i++)
+            for (int ch = 0; ch < 4; ch++) dst[4 * i + ch] = c[ch];
+        return;
+    }
+
+    const QuantMode &wq = weight_modes[bi.weight_mode];
+    int num_weights = bi.grid_w * bi.grid_h << (bi.dual_plane ? 1 : 0);
+    int weight_cost = qm_cost_bits(wq, num_weights);
+    bool err = bi.error || (wq.bits == 0 && !wq.trits && !wq.quints) ||
+               weight_cost < 24 || weight_cost > 96 || num_weights > 64 ||
+               bi.grid_w > bw || bi.grid_h > bh;
+
+    int available = 128 - bi.config_bits - weight_cost;
+    bool single_cem = (bi.cem & 3) == 0;
+    int num_pairs;
+    if (bi.num_parts > 1) {
+        if (single_cem) {
+            num_pairs = (((bi.cem >> 2) >> 2) + 1) * bi.num_parts;
+        } else {
+            int pc = 0;
+            for (int p = 0; p < bi.num_parts; p++)
+                pc += (bi.cem >> (2 + p)) & 1;
+            num_pairs = (bi.cem & 3) * bi.num_parts + pc;
+        }
+    } else {
+        num_pairs = (bi.cem >> 2) + 1;
+    }
+    if (num_pairs > 9 || available < 0) err = true;
+
+    const QuantMode *eq = nullptr;
+    if (!err) {
+        for (const auto &m : color_modes) {
+            if (qm_cost_bits(m, num_pairs * 2) <= available) {
+                eq = &m;
+                break;
+            }
+        }
+        if (!eq) err = true;
+    }
+    if (err) {
+        for (int i = 0; i < n_px; i++) emit_error(dst + 4 * i);
+        return;
+    }
+
+    // Weight stream: bit-reversed from the top of the block.
+    uint8_t rev[16] = {};
+    for (int i = 0; i < 128; i++) {
+        int p = 127 - i;
+        int bit = (blk.b[p >> 3] >> (p & 7)) & 1;
+        rev[i >> 3] |= bit << (i & 7);
+    }
+    BitSource wsrc = {rev, 0, weight_cost};
+
+    int extra_cem_bits = 0;
+    if (bi.num_parts > 1 && !single_cem)
+        extra_cem_bits = bi.num_parts * 3 - 4;
+
+    int ccs = 0;
+    if (bi.dual_plane)
+        ccs = blk.get(126 - weight_cost - extra_cem_bits, 2);
+
+    int extra_cem = extra_cem_bits
+        ? blk.get(128 - weight_cost - extra_cem_bits, extra_cem_bits) : 0;
+
+    int ep_cost = qm_cost_bits(*eq, num_pairs * 2);
+    BitSource esrc = {blk.b, bi.primary_config_bits,
+                      bi.primary_config_bits + ep_cost};
+
+    // Per-partition endpoints.
+    int ep0[4][4], ep1[4][4];
+    bool part_ok[4];
+    for (int p = 0; p < bi.num_parts; p++) {
+        int cem_p, base;
+        if (bi.num_parts > 1) {
+            if (single_cem) {
+                cem_p = bi.cem >> 2;
+                base = ((cem_p >> 2) + 1) * p * 2;
+            } else {
+                int pc = 0;
+                for (int q = 0; q < p; q++) pc += (bi.cem >> (2 + q)) & 1;
+                base = ((bi.cem & 3) * p + pc) * 2;
+                int base_class = (bi.cem & 3) - 1;
+                int full = (extra_cem << 4) | (bi.cem >> 2);
+                int class_off = (full >> p) & 1;
+                int ep_bits = (full >> (bi.num_parts + 2 * p)) & 3;
+                cem_p = 4 * (base_class + class_off) + ep_bits;
+            }
+        } else {
+            cem_p = bi.cem;
+            base = 0;
+        }
+        int nvals = 2 * ((cem_p >> 2) + 1);
+        int v[8] = {};
+        for (int i = 0; i < nvals && i < 8; i++)
+            v[i] = unquant_endpoint(ise_decode(esrc, base + i, *eq), *eq);
+        part_ok[p] = decode_endpoints_ldr(cem_p, v, ep0[p], ep1[p]);
+    }
+
+    bool small_block = n_px < 31;
+    int Dx = (1024 + bw / 2) / (bw - 1);
+    int Dy = (1024 + bh / 2) / (bh - 1);
+
+    for (int y = 0; y < bh; y++) {
+        for (int x = 0; x < bw; x++) {
+            uint8_t *px = dst + 4 * (y * bw + x);
+            int part = bi.num_parts > 1
+                ? select_partition(bi.seed, x, y, bi.num_parts,
+                                   small_block) : 0;
+            if (!part_ok[part]) { emit_error(px); continue; }
+
+            int fx = (Dx * x * (bi.grid_w - 1) + 32) >> 6;
+            int fy = (Dy * y * (bi.grid_h - 1) + 32) >> 6;
+            int wx = fx >> 4, frx = fx & 0xf;
+            int wy = fy >> 4, fry = fy & 0xf;
+            int stride = bi.dual_plane ? 2 : 1;
+
+            int w[2];
+            int n_planes = bi.dual_plane ? 2 : 1;
+            for (int plane = 0; plane < n_planes; plane++) {
+                int idx = wy * bi.grid_w + wx;
+                auto fetch = [&](int i) {
+                    return unquant_weight(
+                        ise_decode(wsrc, stride * i + plane, wq), wq);
+                };
+                int p00 = fetch(idx);
+                int p10 = frx ? fetch(idx + 1) : p00;
+                int p01 = fry ? fetch(idx + bi.grid_w) : p00;
+                int p11 = fry ? (frx ? fetch(idx + bi.grid_w + 1) : p01)
+                              : p10;
+                int w11 = (frx * fry + 8) >> 4;
+                int w10 = frx - w11;
+                int w01 = fry - w11;
+                int w00 = 16 - frx - fry + w11;
+                w[plane] =
+                    (p00 * w00 + p10 * w10 + p01 * w01 + p11 * w11 + 8)
+                    >> 4;
+            }
+
+            for (int ch = 0; ch < 4; ch++) {
+                int wt = (bi.dual_plane && ch == ccs) ? w[1] : w[0];
+                int e0 = ep0[part][ch] * 0x101;
+                int e1 = ep1[part][ch] * 0x101;
+                int c = (e0 * (64 - wt) + e1 * wt + 32) >> 6;
+                px[ch] = (uint8_t)(c >> 8);
+            }
+        }
+    }
+}
+
+}  // namespace astc
+
+extern "C" {
+
+// ASTC LDR -> RGBA8.  block_w/block_h: 4..12 (any legal 2D footprint).
+void decode_astc(const uint8_t *src, uint8_t *dst, int width, int height,
+                 int block_w, int block_h) {
+    if (!astc::tables_ready) astc::build_integer_tables();
+    int bx = (width + block_w - 1) / block_w;
+    int by = (height + block_h - 1) / block_h;
+    std::vector<uint8_t> tmp(block_w * block_h * 4);
+    for (int j = 0; j < by; j++) {
+        for (int i = 0; i < bx; i++) {
+            astc::decode_block(src + (j * bx + i) * 16, tmp.data(),
+                               block_w, block_h);
+            for (int y = 0; y < block_h; y++) {
+                int py = j * block_h + y;
+                if (py >= height) break;
+                for (int x = 0; x < block_w; x++) {
+                    int pxx = i * block_w + x;
+                    if (pxx >= width) break;
+                    const uint8_t *s = tmp.data() + 4 * (y * block_w + x);
+                    uint8_t *d = dst + 4 * (py * width + pxx);
+                    d[0] = s[0]; d[1] = s[1]; d[2] = s[2]; d[3] = s[3];
+                }
+            }
+        }
+    }
+}
+
+}  // extern "C"
