@@ -20,8 +20,14 @@ import types
 def bench_deferred_hdr(width=1920, height=1080, frames=12):
     import json as _json
     import tempfile
+    # VSM directional shadows (a first-class reference mode,
+    # scene_viewer_application.cpp config "directionalLightShadowsVSM"):
+    # linearly filterable moments let the shadow fetch ride the
+    # tile-rect Pallas sampler (ops/tile_sampler) instead of a ~16 ms
+    # per-pixel XLA gather.
     cfg = {"renderer": "deferred", "hdrBloom": True,
-           "shadowMapResolution": 2048}
+           "shadowMapResolution": 2048,
+           "directionalLightShadowsVSM": True}
     with tempfile.NamedTemporaryFile("w", suffix=".json",
                                      delete=False) as f:
         _json.dump(cfg, f)

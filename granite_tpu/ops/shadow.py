@@ -259,7 +259,8 @@ def sample_cascaded_shadow(shadow_maps, cascade_uv_mats, world_pos,
     return term
 
 
-def sample_vsm_shadow_tiled(moments, shadow_uv_mat, world_pos, covered):
+def sample_vsm_shadow_tiled(moments, shadow_uv_mat, world_pos, covered,
+                            strips=None):
     """Directional VSM via the tile-rect Pallas sampler.
 
     Same math as sample_vsm_shadow (vsm.h Chebyshev), but the moment
@@ -279,9 +280,23 @@ def sample_vsm_shadow_tiled(moments, shadow_uv_mat, world_pos, covered):
     uvw = (world_pos @ m[:3, :3].T) + m[:3, 3]
     u, v, z = uvw[..., 0], uvw[..., 1], uvw[..., 2]
     inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (z <= 1.0)
-    strips = build_tiled_strip_raw(moments, wrap=1)
+    if strips is None:
+        strips = build_tiled_strip_raw(moments, wrap=1)
     bundle = jnp.where(covered & inside, 0, -1).astype(jnp.int32)
-    lod = jnp.zeros_like(u)
-    mm = sample_tiled(strips, u, v, lod, bundle)
-    term = _vsm_term(z, mm[..., 0], mm[..., 1])
+    # The moment fetch runs at HALF RES: the kernel's cost is linear in
+    # pixels x rect rows, and the VSM term is low-frequency by
+    # construction (the moments are pre-blurred), so a bilinear
+    # upsample of the Chebyshev term is visually exact away from
+    # extreme penumbra gradients.
+    H, W = u.shape
+    if H % 2 == 0 and W % 2 == 0 and H >= 64:
+        uh, vh, zh = u[::2, ::2], v[::2, ::2], z[::2, ::2]
+        bh = bundle[::2, ::2]
+        mm = sample_tiled(strips, uh, vh, jnp.zeros_like(uh), bh)
+        term_h = _vsm_term(zh, mm[..., 0], mm[..., 1])
+        from .hdr import resize_bilinear
+        term = resize_bilinear(term_h[..., None], H, W)[..., 0]
+    else:
+        mm = sample_tiled(strips, u, v, jnp.zeros_like(u), bundle)
+        term = _vsm_term(z, mm[..., 0], mm[..., 1])
     return jnp.where(inside, term, 1.0)

@@ -469,8 +469,11 @@ def sample_packed_level(packed: jax.Array, tex_id, u, v, level,
     """
     S = packed.shape[2]
     yy, xx, fx, fy = _gutter_level_coords(S, u, v, level, wrap)
-    quad = packed[tex_id, yy, xx].astype(jnp.float32)      # (..., 4C)
-    quad = quad.reshape(quad.shape[:-1] + (4, channels))
+    # Tolerate extra trailing channels (e.g. the 5C LOD strips carry a
+    # parent tap after the quad block).
+    quad = packed[tex_id, yy, xx].astype(jnp.float32)
+    quad = quad[..., :4 * channels].reshape(
+        quad.shape[:-1] + (4, channels))
     fx = fx[..., None]
     fy = fy[..., None]
     top = quad[..., 0, :] * (1 - fx) + quad[..., 1, :] * fx
@@ -500,3 +503,33 @@ def lod_from_derivs(dudx, dvdx, dudy, dvdy, width: int, height: int,
     sy = jnp.sqrt((dudy * width) ** 2 + (dvdy * height) ** 2)
     rho = jnp.maximum(jnp.maximum(sx, sy), 1e-12)
     return jnp.log2(rho) + bias
+
+
+def build_packed_lod_strip_from_levels_np(levels, wrap: int = WRAP_REPEAT,
+                                          dtype="float32"):
+    """Explicit per-level images -> (HS-1, S, 5C) quad+parent LOD strip.
+
+    Like build_packed_lod_strip_np but over a caller-provided (e.g.
+    GGX-prefiltered) chain: one single-index gather then yields the
+    approximate trilinear of sample_packed_lod.  Levels beyond the
+    provided list are box-filtered continuations."""
+    import numpy as np
+    s = levels[0].shape[0]
+    C = levels[0].shape[-1]
+    L = num_mip_levels(s, s)
+    full = [np.asarray(lv, np.float32) for lv in levels]
+    cur = full[-1]
+    while len(full) < L:
+        n2 = max(cur.shape[0] // 2, 1)
+        if cur.shape[0] > 1:
+            cur = cur[:n2 * 2, :n2 * 2].reshape(
+                n2, 2, n2, 2, C).mean(axis=(1, 3))
+        full.append(cur)
+    parents = [(_upsample2_centers_np(full[l + 1], wrap)
+                if l + 1 < L else full[l]) for l in range(L)]
+    gf = _gutter_from_levels_np(full, wrap)
+    gp = _gutter_from_levels_np(parents, wrap)
+    packed = np.concatenate(
+        [gf[:-1, :-1], gf[:-1, 1:], gf[1:, :-1], gf[1:, 1:],
+         gp[:-1, :-1]], axis=-1)
+    return packed.astype(dtype)

@@ -237,7 +237,7 @@ def _circular_bbox(m, mask):
 
 def plan_rects(u, v, lod, bundle, strips: TiledStrips,
                wrap: int = WRAP_REPEAT, mode: str = "quad_parent",
-               xw_rect: int | None = None):
+               xw_rect: int | None = None, fit_rows: int = FIT_Y):
     """Compute the per-tile scalar table for `sample_tiled`.
 
     u, v, lod: (H, W) f32; bundle: (H, W) i32 (-1 where uncovered).
@@ -296,8 +296,12 @@ def plan_rects(u, v, lod, bundle, strips: TiledStrips,
             du = jnp.where(mask, mu, -big).max(axis=(1, 2)) - u0
             v0 = jnp.where(mask, mv, big).min(axis=(1, 2))
             dv = jnp.where(mask, mv, -big).max(axis=(1, 2)) - v0
-        # v is windowed to R_ROWS rows; x only when XW > xw_rect
-        lfit = jnp.ceil(jnp.log2(jnp.maximum(dv * S / FIT_Y, 2.0 ** -30)))
+        # v is windowed to R_ROWS rows; x only when XW > xw_rect.
+        # fit_rows < FIT_Y trades resolution for chunk count: the
+        # kernel's cost is ~linear in rect rows scanned, so pre-
+        # filterable content (VSM moments) caps lower.
+        lfit = jnp.ceil(jnp.log2(
+            jnp.maximum(dv * S / min(fit_rows, FIT_Y), 2.0 ** -30)))
         if XW > xw_rect:
             fit_x = xw_rect - LANE - 2
             lfx = jnp.ceil(jnp.log2(
@@ -554,7 +558,7 @@ def _sample_kernel(info_ref, uvl_ref, bundle_ref, strip_hbm, coarse_hbm,
 
 
 def sample_tiled(strips: TiledStrips, u, v, lod, bundle_id,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, fit_rows: int = FIT_Y):
     """Sample tiled strips at per-pixel (u, v, lod, bundle).
 
     u, v, lod: (H, W) f32; bundle_id: (H, W) i32, -1 where uncovered.
@@ -578,7 +582,8 @@ def sample_tiled(strips: TiledStrips, u, v, lod, bundle_id,
     xw_rect = min(XW, MAX_S)
     info, (ph, pw, ty, tx) = plan_rects(u, v, lod, bundle_id, strips,
                                         wrap=strips.wrap, mode=mode,
-                                        xw_rect=xw_rect)
+                                        xw_rect=xw_rect,
+                                        fit_rows=fit_rows)
     if (ph, pw) != (H, W):
         pad = ((0, ph - H), (0, pw - W))
         u = jnp.pad(u, pad)

@@ -42,7 +42,8 @@ def procedural_sky_equirect(height: int = 128,
     sd = sd / np.linalg.norm(sd)
     cos_sun = x * sd[0] + y * sd[1] + z * sd[2]
 
-    t = np.clip(y, 0.0, 1.0) ** 0.7
+    from ..ops.fastmath import pow07
+    t = pow07(np.clip(y, 0.0, 1.0), np)
     sky = (np.asarray(horizon, np.float32)[None, None]
            * (1 - t[..., None])
            + np.asarray(zenith, np.float32)[None, None] * t[..., None])
@@ -221,7 +222,8 @@ class Environment:
         baked: output of load_baked_environment — uses the offline
         GGX-prefiltered reflection chain instead of box mips."""
         from ..ops.texture import (
-            build_packed_strip_from_levels_np, build_packed_strip_np,
+            build_packed_lod_strip_from_levels_np,
+            build_packed_lod_strip_np,
         )
         h, w = equirect.shape[:2]
         # Resample equirect (H, 2H) -> square pow2 (S, S); stored as a
@@ -235,8 +237,8 @@ class Environment:
             levels = [np.concatenate([lv, np.ones_like(lv[..., :1])], -1)
                       for lv in baked["reflection"]]
             s = levels[0].shape[0]
-            strip = build_packed_strip_from_levels_np(levels,
-                                                      dtype="float32")
+            strip = build_packed_lod_strip_from_levels_np(
+                levels, dtype="float32")
             self.sh = jnp.asarray(np.asarray(baked["sh"], np.float32)
                                   * intensity)
         else:
@@ -244,10 +246,10 @@ class Environment:
                 np.concatenate([equirect,
                                 np.ones_like(equirect[..., :1])], axis=-1),
                 s, s)
-            strip = build_packed_strip_np(sq.astype(np.float32),
-                                          dtype="float32")
+            strip = build_packed_lod_strip_np(sq.astype(np.float32),
+                                               dtype="float32")
             self.sh = jnp.asarray(project_sh9(equirect) * intensity)
-        self.strips = jnp.asarray(strip[None])   # (1, HS-1, S, 16)
+        self.strips = jnp.asarray(strip[None])   # (1, HS-1, S, 20)
         self.intensity = intensity
         self.num_levels = int(np.log2(s)) + 1
         self.sky_params = sky_params
@@ -261,21 +263,26 @@ def sample_environment(strips, dirs, lod):
 
     An integer (Python) lod takes the single-level bilinear path — one
     single-index gather; used for the sky background (always level 0)."""
-    from ..ops.texture import sample_packed_level, sample_packed_trilinear
+    from ..ops.fastmath import equirect_uv
+    from ..ops.texture import sample_packed_level, sample_packed_lod
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
-    n = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
-    theta = jnp.arccos(jnp.clip(y / n, -1.0, 1.0))
-    phi = jnp.arctan2(z, x)
-    u = jnp.where(phi < 0, phi + 2 * jnp.pi, phi) / (2 * jnp.pi)
+    # Polynomial acos/atan2 (ops/fastmath): libm transcendentals at
+    # pixel rate cost more than the texture gather they feed (~13 ms
+    # at half-res 1080p, measured round 2); the ~1e-4 rad error is
+    # ~0.005 texels at 256^2.
+    u, v = equirect_uv(x, y, z)
     # Clamp v away from the poles: the sampler wraps both axes (repeat),
     # which is right for azimuth but would pull the opposite pole row in.
     s = strips.shape[2]
-    v = jnp.clip(theta / jnp.pi, 0.5 / s, 1.0 - 0.5 / s)
+    v = jnp.clip(v, 0.5 / s, 1.0 - 0.5 / s)
     if isinstance(lod, int):
+        # Single-level bilinear (sky background): quad channels only.
         return sample_packed_level(strips, jnp.int32(0), u, v,
                                    jnp.int32(lod), 4, wrap=0)[..., :3]
-    return sample_packed_trilinear(strips, jnp.int32(0), u, v, lod,
-                                   4, wrap=0)[..., :3]
+    # Approximate trilinear via the baked parent tap — ONE gather
+    # instead of sample_packed_trilinear's two (the 5C LOD strip).
+    return sample_packed_lod(strips, jnp.int32(0), u, v, lod,
+                             4, wrap=0)[..., :3]
 
 
 def analytic_sky(dirs, sun_dir=(0.35, 0.9, 0.25),
@@ -290,7 +297,8 @@ def analytic_sky(dirs, sun_dir=(0.35, 0.9, 0.25),
     sd = np.asarray(sun_dir, np.float32)
     sd = sd / np.linalg.norm(sd)
     cos_sun = xn * sd[0] + yn * sd[1] + zn * sd[2]
-    t = jnp.clip(yn, 0.0, 1.0) ** 0.7
+    from ..ops.fastmath import pow07
+    t = pow07(jnp.clip(yn, 0.0, 1.0))
     sky = (jnp.asarray(horizon, jnp.float32) * (1 - t[..., None])
            + jnp.asarray(zenith, jnp.float32) * t[..., None])
     g = jnp.clip(-yn, 0.0, 1.0)[..., None]

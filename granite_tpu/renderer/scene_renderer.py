@@ -753,7 +753,7 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
                   z_near: float = 0.1, z_far: float = 1000.0,
                   cluster_tile: int = 64, env=None,
                   cluster_shadows=None, ao=None, vol_diffuse=None,
-                  shadow_tiled: bool = False):
+                  shadow_tiled: bool = False, shadow_strips=None):
     """Lighting from resolved surface attributes: directional + shadow +
     clustered positional lights + emissive (lighting.h compute_lighting +
     compute_cluster_light).  Used by both forward and deferred paths —
@@ -774,9 +774,13 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
                 # Pallas tile-rect moment fetch (ops/tile_sampler):
                 # ~16 ms XLA gather -> ~1-2 ms rect DMA + weighted
                 # one-hot matmul; bit-exact where tiles fit at level 0.
+                # shadow_strips: strip prebaked with the static shadow
+                # cache (rebuilding ~300 MB of strip per frame costs
+                # more than the fetch saves).
                 from ..ops.shadow import sample_vsm_shadow_tiled
                 shadow_term = sample_vsm_shadow_tiled(
-                    shadow_map, shadow_uv_mat, pos, surf["covered"])
+                    shadow_map, shadow_uv_mat, pos, surf["covered"],
+                    strips=shadow_strips)
             else:
                 from ..ops.shadow import sample_vsm_shadow
                 shadow_term = sample_vsm_shadow(shadow_map, shadow_uv_mat,

@@ -73,3 +73,30 @@ def test_ttf_font_renders():
         # antialiased (fractional) alpha somewhere.
         a = np.asarray(canvas)[..., 3]
         assert ((a > 0.05) & (a < 0.95)).any()
+
+
+def test_fastmath_accuracy():
+    import numpy as np
+    from granite_tpu.ops.fastmath import (
+        equirect_uv, fast_acos, fast_atan2, pow07,
+    )
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, 20001).astype(np.float32)
+    assert np.abs(fast_acos(x, np) - np.arccos(x)).max() < 1e-4
+    a = rng.uniform(-2, 2, 20001).astype(np.float32)
+    b = rng.uniform(-2, 2, 20001).astype(np.float32)
+    d = np.abs(fast_atan2(a, b, np) - np.arctan2(a, b))
+    d = np.minimum(d, 2 * np.pi - d)
+    assert d.max() < 2e-4
+    t = rng.uniform(0, 1, 20001).astype(np.float32)
+    assert np.abs(pow07(t, np) - t ** 0.7).max() < 2.5e-3
+    # uv convention matches the exact mapping
+    v3 = rng.normal(size=(5000, 3)).astype(np.float32)
+    u, v = equirect_uv(v3[:, 0], v3[:, 1], v3[:, 2], np)
+    n = np.linalg.norm(v3, axis=1)
+    theta = np.arccos(np.clip(v3[:, 1] / n, -1, 1))
+    phi = np.arctan2(v3[:, 2], v3[:, 0])
+    ue = np.where(phi < 0, phi + 2 * np.pi, phi) / (2 * np.pi)
+    du = np.abs(u - ue)
+    du = np.minimum(du, 1 - du)
+    assert du.max() < 1e-4 and np.abs(v - theta / np.pi).max() < 1e-4
