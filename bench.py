@@ -20,14 +20,13 @@ import types
 def bench_deferred_hdr(width=1920, height=1080, frames=12):
     import json as _json
     import tempfile
-    # VSM directional shadows (a first-class reference mode,
-    # scene_viewer_application.cpp config "directionalLightShadowsVSM"):
-    # linearly filterable moments let the shadow fetch ride the
-    # tile-rect Pallas sampler (ops/tile_sampler) instead of a ~16 ms
-    # per-pixel XLA gather.
+    # PCF directional shadows (the reference default).  VSM + the
+    # tiled moment sampler exists behind directionalLightShadowsVSM but
+    # measured slower end-to-end this round (96.7 vs 85.9 ms) — the
+    # shadow footprints' tall texel spans make the tile kernel scan
+    # more rect rows than the PCF gather costs.
     cfg = {"renderer": "deferred", "hdrBloom": True,
-           "shadowMapResolution": 2048,
-           "directionalLightShadowsVSM": True}
+           "shadowMapResolution": 2048}
     with tempfile.NamedTemporaryFile("w", suffix=".json",
                                      delete=False) as f:
         _json.dump(cfg, f)

@@ -79,6 +79,11 @@ class ViewerConfig:
     # skip the fallback-latch warmup).  textureBudgetMB bounds resident
     # decoded textures (set_asset_budget analogue).
     texture_streaming: bool = False
+    # Half-res directional shadow term + bilinear upsample.  Measured
+    # NO end-to-end win on the bench (79.3 vs 79.1 ms — the full-res
+    # term gather overlaps other work), so full res stays the default;
+    # the knob remains for memory/perf-constrained configs.
+    shadow_term_half_res: str = "false"
     # Pallas tile-rect material sampler (ops/tile_sampler): "auto" uses
     # it on TPU for eligible scenes (S<=512, <=8 bundles, no streaming);
     # true/false force it.  The classic XLA gather path is the fallback.
@@ -133,6 +138,7 @@ class ViewerConfig:
                 "volumetric_diffuse_face_resolution",
             "textureStreaming": "texture_streaming",
             "materialTileSampler": "material_tile_sampler",
+            "shadowTermHalfRes": "shadow_term_half_res",
             "textureBudgetMB": "texture_budget_mb",
             "renderTargetFp16": "render_target_fp16",
             "rescaleScene": "rescale_scene",
@@ -1075,6 +1081,15 @@ class SceneViewerApplication(Application):
             p.get("prev_skin_palette"),
             morph_weights=p.get("prev_morph_weights"))
 
+    def _shadow_half_res(self):
+        v = self.config.shadow_term_half_res
+        if isinstance(v, bool):
+            return v
+        import jax as _jax
+        return str(v).lower() == "true" or (
+            str(v).lower() == "auto"
+            and _jax.default_backend() != "cpu")
+
     def _shadow_strips(self, p):
         if "static_vsm_strip" not in p:
             return None
@@ -1103,6 +1118,7 @@ class SceneViewerApplication(Application):
                   shadow_tiled=(self._use_tile_sampler and
                                 self.config.directional_light_shadows_vsm),
                   shadow_strips=self._shadow_strips(p),
+                  shadow_half_res=self._shadow_half_res(),
                   env={"strips": p["env_strips"], "sh": p["env_sh"],
                        "levels": self.environment.num_levels,
                        "sky_params": self.environment.sky_params},

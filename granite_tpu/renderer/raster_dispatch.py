@@ -19,18 +19,25 @@ _overflow_logged = set()
 
 def rasterize_binned_checked(setup, width: int, height: int):
     interpret = jax.default_backend() == "cpu"
+    from ..ops.raster_binned import SPAN_H, SPAN_W, TILE_H, TILE_W
+    ntiles = (-(-width // TILE_W)) * (-(-height // TILE_H))
+    # wide emit window above 512 tiles (2048^2-class targets) — see
+    # fused_raster_surface / render_shadow_map
+    spans = dict(span_w=2, span_h=8) if ntiles > 512 else {}
     if _DEBUG:
         # Debug mode (breadcrumbs analogue): surface capacity overflows —
         # the reference never drops geometry (render_queue.cpp:41-58), so
         # any non-zero overflow counter is a correctness event.
         depth, tri, stats = rasterize_binned(
-            setup, width, height, interpret=interpret, with_stats=True)
+            setup, width, height, interpret=interpret, with_stats=True,
+            **spans)
         import jax.debug as jdbg
         jdbg.callback(_report_overflow, stats["huge_overflow"],
                       stats["visible_overflow"],
                       stats["max_bin_entries"], ordered=False)
         return depth, tri
-    return rasterize_binned(setup, width, height, interpret=interpret)
+    return rasterize_binned(setup, width, height, interpret=interpret,
+                            **spans)
 
 
 def _report_overflow(huge_overflow, visible_overflow, max_bin):

@@ -725,8 +725,16 @@ def fused_raster_surface(scene: PackedScene, clip, object_mask,
     setup = setup._replace(valid=setup.valid & tri_visible)
     extra = build_resolve_extra(scene, world_pos, world_normal,
                                 world_tangent, prev_world_pos)
+    # Large tile grids (2048^2-class targets, >512 tiles) killed the TPU
+    # worker with the default emit window (too much spilled to the
+    # shared huge list); the wide window that keeps 2048^2 shadow maps
+    # alive (render_shadow_map) applies the same medicine here.
+    from ..ops.raster_binned import SPAN_H, SPAN_W, TILE_H, TILE_W
+    ntiles = (-(-width // TILE_W)) * (-(-height // TILE_H))
+    span_w, span_h = (2, 8) if ntiles > 512 else (SPAN_W, SPAN_H)
     planes = rasterize_resolve(setup, extra, width, height,
                                interpret=interpret,
+                               span_w=span_w, span_h=span_h,
                                has_prev=prev_world_pos is not None)
 
     def ch(base, n):
@@ -753,7 +761,8 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
                   z_near: float = 0.1, z_far: float = 1000.0,
                   cluster_tile: int = 64, env=None,
                   cluster_shadows=None, ao=None, vol_diffuse=None,
-                  shadow_tiled: bool = False, shadow_strips=None):
+                  shadow_tiled: bool = False, shadow_strips=None,
+                  shadow_half_res: bool = False):
     """Lighting from resolved surface attributes: directional + shadow +
     clustered positional lights + emissive (lighting.h compute_lighting +
     compute_cluster_light).  Used by both forward and deferred paths —
@@ -790,6 +799,18 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
             from ..ops.shadow import sample_cascaded_shadow
             shadow_term = sample_cascaded_shadow(
                 shadow_map, shadow_uv_mat, pos, wide=pcf_wide)
+        elif shadow_half_res and pos.shape[0] % 2 == 0 and \
+                pos.shape[1] % 2 == 0 and pos.shape[0] >= 64:
+            # PCF term at half res + bilinear term upsample: the gather
+            # cost is linear in pixel count (~16 ms at 1080p, the
+            # per-index DMA floor), and the 2x2 PCF term is already a
+            # bilinear blend, so upsampling the term loses little.
+            from ..ops.hdr import resize_bilinear
+            th = sample_directional_shadow(
+                shadow_map, shadow_uv_mat, pos[::2, ::2],
+                wide=pcf_wide)
+            shadow_term = resize_bilinear(
+                th[..., None], pos.shape[0], pos.shape[1])[..., 0]
         else:
             shadow_term = sample_directional_shadow(
                 shadow_map, shadow_uv_mat, pos, wide=pcf_wide)
