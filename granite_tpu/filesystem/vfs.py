@@ -3,10 +3,12 @@
 Granite's Filesystem routes protocol paths (builtin://, assets://,
 cache://, file://) to FilesystemBackend instances (filesystem.hpp:133,167)
 with an mmap-only File API and change notifications (inotify on Linux,
+via a raw libc ctypes binding — no external package needed —
 linux/os_filesystem.cpp).  Here: same protocol registry; files map via
-np.memmap / bytes; change notification is mtime-polling (no inotify
-binding in this environment) pumped from Application.poll — same
-delivery contract (poll_notifications -> handlers).
+np.memmap / bytes; change notification is inotify (raw libc ctypes,
+filesystem/linux/os_filesystem.cpp parity) with mtime-polling as the
+portable fallback, pumped from Application.poll — same delivery
+contract (poll_notifications -> handlers).
 """
 
 from __future__ import annotations
@@ -56,13 +58,85 @@ class FilesystemBackend:
         pass
 
 
+class _Inotify:
+    """Raw Linux inotify via libc (no external binding needed).
+
+    Watches DIRECTORIES and reports per-entry events, the same protocol
+    the reference uses (filesystem/linux/os_filesystem.cpp): editors
+    replace files by rename, which kills per-file watches but not
+    per-directory ones."""
+
+    IN_MODIFY = 0x002
+    IN_ATTRIB = 0x004
+    IN_CLOSE_WRITE = 0x008
+    IN_MOVED_FROM = 0x040
+    IN_MOVED_TO = 0x080
+    IN_CREATE = 0x100
+    IN_DELETE = 0x200
+    IN_NONBLOCK = 0x800
+    MASK = (IN_MODIFY | IN_ATTRIB | IN_CLOSE_WRITE | IN_MOVED_FROM
+            | IN_MOVED_TO | IN_CREATE | IN_DELETE)
+
+    def __init__(self):
+        import ctypes
+        self._libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        self.fd = self._libc.inotify_init1(self.IN_NONBLOCK)
+        if self.fd < 0:
+            raise OSError("inotify_init1 failed")
+
+    def add_watch(self, dir_path: str) -> int:
+        wd = self._libc.inotify_add_watch(
+            self.fd, dir_path.encode(), self.MASK)
+        if wd < 0:
+            raise OSError(f"inotify_add_watch failed: {dir_path}")
+        return wd
+
+    def rm_watch(self, wd: int) -> None:
+        self._libc.inotify_rm_watch(self.fd, wd)
+
+    def read_events(self):
+        """Drain: list of (wd, mask, name)."""
+        import struct
+        out = []
+        while True:
+            try:
+                buf = os.read(self.fd, 16384)
+            except BlockingIOError:
+                break
+            except OSError:
+                break
+            if not buf:
+                break
+            off = 0
+            while off + 16 <= len(buf):
+                wd, mask, _cookie, nlen = struct.unpack_from(
+                    "iIII", buf, off)
+                name = buf[off + 16:off + 16 + nlen].split(b"\0")[0]                     .decode(errors="replace")
+                out.append((wd, mask, name))
+                off += 16 + nlen
+        return out
+
+    def close(self):
+        try:
+            os.close(self.fd)
+        except OSError:
+            pass
+
+
 class OSFilesystem(FilesystemBackend):
-    """filesystem/linux/os_filesystem.cpp analogue (mtime polling)."""
+    """filesystem/linux/os_filesystem.cpp analogue: inotify change
+    notification when the kernel provides it, mtime polling otherwise."""
 
     def __init__(self, base: str):
         self.base = os.path.abspath(base)
         self._watch: dict[int, tuple[str, Callable, float]] = {}
         self._next_handle = 1
+        try:
+            self._ino = _Inotify()
+        except OSError:
+            self._ino = None
+        self._ino_dirs: dict[str, int] = {}        # dir -> wd
+        self._ino_watch: dict[int, tuple] = {}     # handle -> record
 
     def _full(self, path: str) -> str:
         """Resolve `path` under base, confined to base.
@@ -120,16 +194,46 @@ class OSFilesystem(FilesystemBackend):
             return None
 
     def install_notification(self, path: str, cb: Callable) -> int:
-        st = self.stat(path)
         h = self._next_handle
         self._next_handle += 1
+        if self._ino is not None:
+            full = self._full(path)
+            is_dir = os.path.isdir(full)
+            wdir = full if is_dir else (os.path.dirname(full) or ".")
+            try:
+                if wdir not in self._ino_dirs:
+                    self._ino_dirs[wdir] = self._ino.add_watch(wdir)
+                wd = self._ino_dirs[wdir]
+                name = "" if is_dir else os.path.basename(full)
+                self._ino_watch[h] = (path, cb, wd, name)
+                return h
+            except OSError:
+                pass               # fall through to mtime polling
+        st = self.stat(path)
         self._watch[h] = (path, cb, st["mtime"] if st else -1.0)
         return h
 
     def uninstall_notification(self, handle: int) -> None:
         self._watch.pop(handle, None)
+        self._ino_watch.pop(handle, None)
 
     def poll_notifications(self) -> None:
+        if self._ino is not None and self._ino_watch:
+            I = _Inotify
+            fired = set()      # coalesce raw event storms per poll
+            for wd, mask, name in self._ino.read_events():
+                if mask & (I.IN_DELETE | I.IN_MOVED_FROM):
+                    kind = "deleted"
+                elif mask & (I.IN_CREATE | I.IN_MOVED_TO):
+                    kind = "created"
+                else:
+                    kind = "modified"
+                for h, (path, cb, w, fname) in list(
+                        self._ino_watch.items()):
+                    if w == wd and (fname == "" or fname == name) \
+                            and (h, kind) not in fired:
+                        fired.add((h, kind))
+                        cb(FileNotifyInfo(path=path, type=kind, handle=h))
         for h, (path, cb, mtime) in list(self._watch.items()):
             st = self.stat(path)
             new_mtime = st["mtime"] if st else -1.0

@@ -121,3 +121,53 @@ def test_asset_manager_dedup():
     b = am.register_asset("same.png")
     assert a == b
     tg.shutdown()
+
+
+def test_inotify_notifications(tmp_path):
+    """Linux inotify backend (raw libc): create/modify/delete events
+    delivered without mtime-resolution races."""
+    from granite_tpu.filesystem.vfs import OSFilesystem, _Inotify
+    try:
+        _Inotify().close()
+    except OSError:
+        import pytest
+        pytest.skip("no inotify on this kernel")
+    fs = OSFilesystem(str(tmp_path))
+    assert fs._ino is not None
+    events = []
+    h = fs.install_notification("watched.txt", events.append)
+    assert h > 0 and h in fs._ino_watch
+    (tmp_path / "watched.txt").write_bytes(b"one")
+    fs.poll_notifications()
+    kinds = [e.type for e in events]
+    assert "created" in kinds or "modified" in kinds
+    events.clear()
+    (tmp_path / "watched.txt").write_bytes(b"two")
+    fs.poll_notifications()
+    assert any(e.type == "modified" for e in events)
+    events.clear()
+    (tmp_path / "other.txt").write_bytes(b"x")   # unwatched file
+    (tmp_path / "watched.txt").unlink()
+    fs.poll_notifications()
+    assert [e.type for e in events] == ["deleted"]
+    fs.uninstall_notification(h)
+    (tmp_path / "watched.txt").write_bytes(b"three")
+    fs.poll_notifications()
+    assert events[-1].type == "deleted"          # no new deliveries
+
+
+def test_inotify_directory_watch(tmp_path):
+    from granite_tpu.filesystem.vfs import OSFilesystem, _Inotify
+    try:
+        _Inotify().close()
+    except OSError:
+        import pytest
+        pytest.skip("no inotify on this kernel")
+    fs = OSFilesystem(str(tmp_path))
+    sub = tmp_path / "assets"
+    sub.mkdir()
+    events = []
+    fs.install_notification("assets", events.append)
+    (sub / "a.bin").write_bytes(b"a")
+    fs.poll_notifications()
+    assert any(e.type in ("created", "modified") for e in events)
