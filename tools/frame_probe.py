@@ -1,0 +1,113 @@
+"""In-context per-stage frame costs via graph prefix re-bakes.
+
+Isolated stage probes (tools/stage_probe.py) mis-predict the chained
+frame: XLA fuses and schedules differently inside the real program
+(measured round 2: per-stage sums were ~2x the end-to-end bench).
+This tool measures the REAL thing: it re-bakes the bench graph with the
+backbuffer source set to successive intermediate resources — dead-pass
+elimination culls everything downstream — and times each prefix with
+the bench's own chained protocol (12 frames under lax.scan, ONE scalar
+readback).  Successive differences are true in-context marginal stage
+costs.
+
+Run ON TPU:  python tools/frame_probe.py [-k 12] [--width --height]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+LADDER = [
+    ("shadow-depth", "shadow map"),
+    ("g-base", "+gbuffer (fused raster+resolve+material)"),
+    ("hdr", "+lighting (sun/pcf/env/clustered)"),
+    ("bloom-final", "+bloom pyramid"),
+    ("backbuffer", "+luminance+tonemap+encode"),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("-k", type=int, default=12)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = {"renderer": "deferred", "hdrBloom": True,
+           "shadowMapResolution": 2048}
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(cfg, f)
+        path = f.name
+    from granite_tpu.app.scene_viewer import SceneViewerApplication
+    app = SceneViewerApplication(types.SimpleNamespace(
+        scene=None, config=path, camera_index=-1, bench_scene=True))
+    app.swapchain_updated(args.width, args.height)
+    print("device:", jax.devices()[0], flush=True)
+
+    import __graft_entry__ as ge
+    params, _ = ge._frame_inputs(app)
+    n = args.k
+    stacked = {"frame_time": jnp.broadcast_to(jnp.float32(1 / 60), (n,))}
+    static = dict(params)
+    static.pop("frame_time", None)
+
+    g = app.graph
+    prev = None
+    results = []
+    for res, label in LADDER:
+        if res not in g._resources:
+            print(f"{label:48s}  (resource absent, skipped)", flush=True)
+            continue
+        g.set_backbuffer_source(res)
+        g.bake()
+        step = g._step
+        history = g.initial_history()
+
+        def chain(static, stacked, hist, step=step):
+            head = jax.tree_util.tree_map(lambda x: x[:n - 1], stacked)
+
+            def body(h, fs):
+                _o, nh = step({**static, **fs}, h)
+                return nh, None
+
+            hist2, _ = jax.lax.scan(body, hist, head)
+            last = jax.tree_util.tree_map(lambda x: x[n - 1], stacked)
+            out, _ = step({**static, **last}, hist2)
+            return out.astype(jnp.float32).sum()
+
+        fn = jax.jit(chain)
+        t0 = time.monotonic()
+        np.asarray(fn(static, stacked, history))       # compile + warm
+        compile_s = time.monotonic() - t0
+        t0 = time.monotonic_ns()
+        np.asarray(fn(static, stacked, history))
+        ms = (time.monotonic_ns() - t0) / 1e6 / n
+        marg = ms - prev if prev is not None else ms
+        print(f"{label:48s} {ms:8.2f} ms/frame   (+{marg:6.2f})"
+              f"   [compile {compile_s:.0f}s]", flush=True)
+        results.append((res, ms))
+        prev = ms
+
+    # restore the real backbuffer
+    g.set_backbuffer_source("backbuffer")
+    g.bake()
+    print(json.dumps({r: round(m, 2) for r, m in results}))
+
+
+if __name__ == "__main__":
+    main()
