@@ -409,26 +409,24 @@ def _sample_kernel(info_ref, uvl_ref, bundle_ref, strip_hbm, coarse_hbm,
             cp.start()
             cp.wait()
 
-    # ---- per-slot rect DMAs: started here, waited after the pixel
-    # coordinate math so the copies overlap VPU work ----------------------
+    # ---- per-slot rect DMAs (one strided copy each) ---------------------
     rects = [rect0, rect1]
-
-    def _slot_copy(k):
+    for k in range(K_SLOTS):
         base = k * SLOT_WORDS
+        bundle = info_ref[tile, base + 0]
         row0 = info_ref[tile, base + 3]
         xt0 = info_ref[tile, base + 5]
-        bundle = jnp.maximum(info_ref[tile, base + 0], 0)
-        if xw_rect == xw_full:
-            src = strip_hbm.at[bundle, pl.ds(row0, R_ROWS), :, :]
-        else:
-            src = strip_hbm.at[bundle, pl.ds(row0, R_ROWS), :,
-                               pl.ds(xt0 * LANE, xw_rect)]
-        return pltpu.make_async_copy(src, rects[k], sems.at[1 + k])
 
-    for k in range(K_SLOTS):
-        @pl.when(info_ref[tile, k * SLOT_WORDS] >= 0)
-        def _(k=k):
-            _slot_copy(k).start()
+        @pl.when(bundle >= 0)
+        def _(k=k, bundle=bundle, row0=row0, xt0=xt0):
+            if xw_rect == xw_full:
+                src = strip_hbm.at[bundle, pl.ds(row0, R_ROWS), :, :]
+            else:
+                src = strip_hbm.at[bundle, pl.ds(row0, R_ROWS), :,
+                                   pl.ds(xt0 * LANE, xw_rect)]
+            cp = pltpu.make_async_copy(src, rects[k], sems.at[1])
+            cp.start()
+            cp.wait()
 
     # ---- per-pixel coordinates per slot ---------------------------------
     u = uvl_ref[0]
@@ -476,11 +474,6 @@ def _sample_kernel(info_ref, uvl_ref, bundle_ref, strip_hbm, coarse_hbm,
 
     tables = [rect0, rect1, coarse_s]
 
-    for k in range(K_SLOTS):
-        @pl.when(info_ref[tile, k * SLOT_WORDS] >= 0)
-        def _(k=k):
-            _slot_copy(k).wait()
-
     # ---- per-band chunk-skipped one-hot fetch ---------------------------
     P = BAND_H * PX_W
     for band in range(N_BANDS):
@@ -504,44 +497,35 @@ def _sample_kernel(info_ref, uvl_ref, bundle_ref, strip_hbm, coarse_hbm,
             rx2_b = rx2l[r0:r1, :].reshape(1, P)
             xt2_b = xt2l[r0:r1, :].reshape(1, P)
             lane_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, P), 0)
-            # Combined (lane | xt | row) key: the chunk loop then needs
-            # ONE (128, P) compare + one select per chunk instead of
-    	    # separate lane/xt/row tests — the construction passes are
-            # the kernel's dominant cost (see CLAUDE.md cost model).
-            big = jnp.int32(1 << 24)
-            key_b = jnp.where(m_b > 0,
-                              rx_b + (xt_b << 7) + (ry_b << 9), -big)
-            key2_b = jnp.where(m_b > 0,
-                               rx2_b + (xt2_b << 7) + (ry_b << 9), -big)
             table = tables[si]
             nx = 1 if si == 2 else n_xt
 
             def body(ryr, carry, si=si, table=table, nx=nx,
-                     key_b=key_b, key2_b=key2_b, lane_iota=lane_iota,
+                     m_b=m_b, ry_b=ry_b, rx_b=rx_b, xt_b=xt_b,
+                     rx2_b=rx2_b, xt2_b=xt2_b, lane_iota=lane_iota,
                      xt_lo=xt_lo, xt_hi=xt_hi):
+                row_sel = (ry_b == ryr) & (m_b > 0)
+                if taps:
+                    prev_sel = (ry_b == ryr - 1) & (m_b > 0)
                 for xt in range(nx):
                     @pl.when((xt >= xt_lo) & (xt <= xt_hi))
                     def _(xt=xt):
-                        const = (xt << 7) + (ryr << 9)
                         if taps:
-                            # bilinear weights ride the one-hot: chunk
-                            # row ryr serves tap row ry with weight
-                            # (1-fy) and tap row ry+1 (of pixels one
-                            # texel up) with weight fy; each has an
-                            # x and x+1 tap.
-                            cprev = ((ryr - 1) << 9) + (xt << 7)
-                            w = (jnp.where(lane_iota == key_b - const,
-                                           (1.0 - fxb) * (1.0 - fyb), 0.0)
-                                 + jnp.where(lane_iota == key2_b - const,
-                                             fxb * (1.0 - fyb), 0.0)
-                                 + jnp.where(lane_iota == key_b - cprev,
-                                             (1.0 - fxb) * fyb, 0.0)
-                                 + jnp.where(lane_iota == key2_b - cprev,
-                                             fxb * fyb, 0.0))
-                            oh = w.astype(ohdt)
+                            # bilinear weights ride the one-hot: row ryr
+                            # serves tap row ry (weight 1-fy) and tap
+                            # row ry+1 of the band above it (weight fy)
+                            wy = (jnp.where(row_sel, 1.0 - fyb, 0.0)
+                                  + jnp.where(prev_sel, fyb, 0.0))
+                            w0 = jnp.where((lane_iota == rx_b)
+                                           & (xt_b == xt),
+                                           1.0 - fxb, 0.0)
+                            w1 = jnp.where((lane_iota == rx2_b)
+                                           & (xt2_b == xt), fxb, 0.0)
+                            oh = ((w0 + w1) * wy).astype(ohdt)
                         else:
+                            sel = row_sel & (xt_b == xt)
                             oh = jnp.where(
-                                lane_iota == key_b - const,
+                                (lane_iota == rx_b) & sel,
                                 jnp.float32(1.0), jnp.float32(0.0)
                             ).astype(ohdt)
                         if si == 2:
@@ -638,7 +622,7 @@ def sample_tiled(strips: TiledStrips, u, v, lod, bundle_id,
             pltpu.VMEM((R_ROWS, C5, xw_rect), tdt),
             pltpu.VMEM((B * s_c, C5, LANE), tdt),
             pltpu.VMEM((C5, BAND_H * PX_W), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
@@ -647,6 +631,10 @@ def sample_tiled(strips: TiledStrips, u, v, lod, bundle_id,
         out_shape=jax.ShapeDtypeStruct((GP, ph, pw), jnp.float32),
         interpret=interpret,
     )(info, uvl, bundle_id.astype(jnp.int32), strips.strip, strips.coarse)
+    # Containment: a single bad texel (kernel bug / DMA fault) would
+    # otherwise NaN-poison the global auto-exposure and black the whole
+    # frame; clamp to finite values so faults stay local and visible.
+    out = jnp.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0)
     return jnp.moveaxis(out, 0, -1)[:H, :W, :ch]
 
 
