@@ -42,6 +42,11 @@ def add_headless_cli(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--warmup-frames", type=int, default=2,
                         dest="warmup_frames",
                         help="untimed compile/warmup frames")
+    parser.add_argument("--chain", action="store_true",
+                        help="time frames chained in one device program "
+                             "(present-to-swapchain analogue); requires "
+                             "a static scene, incompatible with "
+                             "--video-path")
     parser.add_argument("--capture-probe", type=str, default=None,
                         dest="capture_probe",
                         help="render a 6-face environment probe and "
@@ -61,32 +66,51 @@ def run_headless(app: Application, args: argparse.Namespace) -> int:
             app, "capture_environment_probe"):
         app.capture_environment_probe(args.capture_probe, face_size=128,
                                       equirect_height=64)
+    step = args.time_step or (1.0 / 60.0)
+    use_chain = bool(getattr(args, "chain", False)) and \
+        hasattr(app, "render_frames_chained")
+    if use_chain and getattr(args, "video_path", None):
+        LOGE("--chain cannot encode per-frame video; chaining disabled")
+        use_chain = False
+    t_compile0 = get_current_time_nsecs()
     for _ in range(max(args.warmup_frames, 0)):
-        out = app.render_frame(args.time_step or (1.0 / 60.0), 0.0)
-        out.block_until_ready()
+        out = app.render_frame(step, 0.0)
+        # block_until_ready() does NOT wait through the axon tunnel
+        # (CLAUDE.md); a tiny readback is the only true fence.
+        np.asarray(out[0, 0:1])
+    if use_chain:
+        np.asarray(app.render_frames_chained(step, 0.0, frames)[0, 0:1])
+    # Fossilize lesson: compile/warm-up time is a first-class stat.
+    stats.counters["compileTimeMs"] = \
+        (get_current_time_nsecs() - t_compile0) / 1e6
 
     sink = None
     if getattr(args, "video_path", None):
         from .video_sink import VideoSink
         sink = VideoSink(args.video_path, args.width, args.height,
-                         fps=1.0 / (args.time_step or 1 / 60))
+                         fps=1.0 / step)
 
     last_image = None
     t_begin = get_current_time_nsecs()
-    for i in range(frames):
-        ft = timer.frame(fixed_step=args.time_step)
-        out = app.render_frame(ft, timer.get_elapsed())
-        app.device.frame().track(out)
-        app.device.next_frame_context()
-        app.post_frame()
-        if sink is not None:
-            sink.push_frame(np.asarray(out))
-        last_image = out
-    # One sync at the end: remote TPU readbacks cost ~35 ms each, so the
-    # loop must stay fully pipelined (the reference pipelines frames the
-    # same way via its swapchain ring).  averageFrameTimeUs is the
-    # pipelined throughput, like the reference's headless counter.
-    np.asarray(last_image[0, 0:1])
+    if use_chain:
+        last_image = app.render_frames_chained(step, step, frames)
+        np.asarray(last_image[0, 0:1])
+    else:
+        for i in range(frames):
+            ft = timer.frame(fixed_step=args.time_step)
+            out = app.render_frame(ft, timer.get_elapsed())
+            app.device.frame().track(out)
+            app.device.next_frame_context()
+            app.post_frame()
+            if sink is not None:
+                sink.push_frame(np.asarray(out))
+            last_image = out
+        # One sync at the end: remote TPU readbacks cost ~35 ms each, so
+        # the loop must stay fully pipelined (the reference pipelines
+        # frames the same way via its swapchain ring).
+        # averageFrameTimeUs is the pipelined throughput, like the
+        # reference's headless counter.
+        np.asarray(last_image[0, 0:1])
     if sink is not None:
         sink.close()
     total_s = (get_current_time_nsecs() - t_begin) * 1e-9

@@ -1106,6 +1106,17 @@ class SceneViewerApplication(Application):
                            yr_off=yr_off, size=S, channels=2, levels=L,
                            coarse_level=cl, wrap=1)
 
+    def _env_tiled(self, p):
+        """Tile-rect env strips (ops/tile_sampler) when the sampler is
+        active: the spec-IBL fetch's strip/coarse payloads ride params
+        (jit inputs), the static meta comes from the Environment."""
+        if "env_tiled_strip" not in p:
+            return None
+        from dataclasses import replace
+        return replace(self.environment.tiled,
+                       strip=p["env_tiled_strip"],
+                       coarse=p["env_tiled_coarse"])
+
     def _light_kwargs(self, ctx):
         p = ctx.params
         kw = dict(shadow_map=(ctx.input("shadow-depth")
@@ -1121,7 +1132,8 @@ class SceneViewerApplication(Application):
                   shadow_half_res=self._shadow_half_res(),
                   env={"strips": p["env_strips"], "sh": p["env_sh"],
                        "levels": self.environment.num_levels,
-                       "sky_params": self.environment.sky_params},
+                       "sky_params": self.environment.sky_params,
+                       "tiled": self._env_tiled(p)},
                   vol_diffuse=self._vol_diffuse)
         if self._has_lights:
             zn, zf = self._cluster_range
@@ -1738,6 +1750,10 @@ class SceneViewerApplication(Application):
             "camera_pos": jnp.asarray(self.context.camera_pos),
             "env_strips": self.environment.strips,
             "env_sh": self.environment.sh,
+            **({"env_tiled_strip": self.environment.tiled.strip,
+                "env_tiled_coarse": self.environment.tiled.coarse}
+               if (self._use_tile_sampler
+                   and self.environment.tiled is not None) else {}),
             **({"static_vsm_moments": self._static_vsm[0],
                 "static_vsm_strip": self._static_vsm[1],
                 "static_vsm_coarse": self._static_vsm[2]}
@@ -1830,8 +1846,15 @@ class SceneViewerApplication(Application):
                               n: int):
         """Render n frames with ONE device dispatch for frames 2..n
         (graph.execute_chain — the present-to-swapchain analogue; only
-        the last backbuffer returns to the host).  Falls back to
-        per-frame render_frame when the scene is time-varying."""
+        the last backbuffer returns to the host, plus a f32 checksum of
+        every chained frame that defeats scan DCE).  Falls back to
+        per-frame render_frame when the scene is time-varying.
+
+        TAA/FSR2 configs chain too: for a static camera the temporal
+        reprojection matrix and prev-frame transforms are constant, and
+        the jitter sequence is a deterministic host-side table — the
+        jittered view-proj / jitter-uv per frame ride as stacked params
+        (post/temporal.cpp jitter banks)."""
         cached = getattr(self, "_param_cache", None)
         fresh = cached is not None and \
             cached[0] == self._static_frame_sig(frame_time)
@@ -1845,7 +1868,7 @@ class SceneViewerApplication(Application):
         static_ok = cached is not None \
             and not self.animation_system.states \
             and not self.config.show_ui and self.ocean is None \
-            and self._jitter is None and not self._debug_graph
+            and not self._debug_graph
         if not static_ok:
             out = None
             for i in range(n - chain_n, n):
@@ -1855,8 +1878,27 @@ class SceneViewerApplication(Application):
         params.pop("frame_time")
         stacked = {"frame_time": jnp.broadcast_to(
             jnp.float32(frame_time), (chain_n,))}
-        out, self._history = self.graph.execute_chain(
+        if self._jitter is not None:
+            # Step the deterministic jitter host-side for each chained
+            # frame; the un-jittered VP is constant (static camera), so
+            # reproj/prev_vp params in `params` stay valid.
+            vp_unjit = self._jitter._saved_nojitter[-1]
+            vps, invs, juvs = [], [], []
+            for _ in range(chain_n):
+                jit_vp = self._jitter.step(vp_unjit)
+                vps.append(jit_vp)
+                invs.append(np.linalg.inv(jit_vp).astype(np.float32))
+                juvs.append(self._jitter.last_jitter_uv())
+            params.pop("view_proj")
+            params.pop("inv_view_proj")
+            stacked["view_proj"] = jnp.asarray(np.stack(vps))
+            stacked["inv_view_proj"] = jnp.asarray(np.stack(invs))
+            if self._use_fsr2:
+                params.pop("fsr2_jitter")
+                stacked["fsr2_jitter"] = jnp.asarray(np.stack(juvs))
+        out, self._history, chk = self.graph.execute_chain(
             params, stacked, self._history, chain_n)
+        self._last_chain_checksum = chk
         return out
 
     def capture_environment_probe(self, path: str, face_size: int = 512,

@@ -441,6 +441,14 @@ class RenderGraph:
         entries whose leaves carry a leading axis of length n
         (per-frame time, jitter, masks...).  Frame i runs with
         {**static, **stacked[i]}.
+
+        Every scanned frame's backbuffer folds into a f32 checksum that
+        is a program output: without it XLA dead-code-eliminates every
+        pass that does not feed a history resource (bloom chain,
+        tonemap) for the first n-1 frames and the chain silently times
+        only a fraction of the real frame (round-2 verdict; the fix
+        tools/frame_probe.py already used).  The checksum is also a
+        cheap whole-run integrity probe (NaN in any frame surfaces).
         """
         if self._step is None:
             raise RenderGraphError("graph not baked")
@@ -452,21 +460,27 @@ class RenderGraph:
 
             def run(static, stacked, history):
                 # The first n-1 frames run under scan (their backbuffers
-                # never materialize as outputs); the last runs unstacked
-                # so only ITS backbuffer ships.
+                # never materialize as outputs — but each folds into the
+                # carried checksum so no pass is DCE'd); the last frame
+                # runs unstacked so only ITS backbuffer ships.
                 final_hist = history
+                acc = jnp.zeros((), jnp.float32)
                 if n > 1:
                     head = jax.tree_util.tree_map(lambda x: x[:n - 1],
                                                   stacked)
 
-                    def body(hist, frame_stacked):
-                        _out, new_hist = step({**static, **frame_stacked},
-                                              hist)
-                        return new_hist, None
+                    def body(carry, frame_stacked):
+                        hist, a = carry
+                        out, new_hist = step({**static, **frame_stacked},
+                                             hist)
+                        a = a + jnp.sum(out.astype(jnp.float32))
+                        return (new_hist, a), None
 
-                    final_hist, _ = jax.lax.scan(body, history, head)
+                    (final_hist, acc), _ = jax.lax.scan(
+                        body, (history, acc), head)
                 last = jax.tree_util.tree_map(lambda x: x[n - 1], stacked)
-                return step({**static, **last}, final_hist)
+                out, final_hist = step({**static, **last}, final_hist)
+                return out, final_hist, acc
 
             fn = jax.jit(run, donate_argnums=(2,))
             if not hasattr(self, "_chain_cache"):

@@ -28,9 +28,15 @@ unit's tile cache.
 Quality contract: pixels whose floor(lod) equals the slot level get
 bit-identical trilinear results (modulo bf16 texel storage); a tile
 whose footprint cannot fit the rect window at floor(min_lod) is sampled
-one or more levels coarser (slight extra blur, never aliasing); pixels
-beyond the K per-tile bundles fall back to an always-resident 32^2
-coarse block.
+one or more levels coarser (slight extra blur); pixels beyond the K
+per-tile bundles fall back to an always-resident 32^2 coarse block.
+Known divergence: the rect level is floor(min_lod) over the whole tile
+and the parent tap reaches one level up only, so pixels whose lod
+exceeds level+1 (steep lod gradients inside one 32x128 tile) are
+sampled SHARPER than requested and can alias — the opposite of the
+extra-blur case.  In practice the raster's per-quad lod is smooth
+within a tile; scenes with violent lod gradients should prefer the
+classic gather path (materialTileSampler=false).
 """
 
 from __future__ import annotations
@@ -95,10 +101,14 @@ class TiledStrips:
     wrap: int = WRAP_REPEAT
 
 
-def _quad_parent_levels_np(img, wrap: int):
-    """Per-level (S_l, S_l, 5C) quad+parent content (numpy)."""
+def _quad_parent_levels_np(img, wrap: int, levels=None):
+    """Per-level (S_l, S_l, 5C) quad+parent content (numpy).
+
+    levels: optional explicit level chain (e.g. a GGX-prefiltered
+    reflection chain) instead of box mips."""
     from .texture import _box_mip_levels_np, _upsample2_centers_np
-    levels = _box_mip_levels_np(img)
+    if levels is None:
+        levels = _box_mip_levels_np(img)
     out = []
     for l, cur in enumerate(levels):
         if l + 1 < len(levels):
@@ -129,9 +139,13 @@ def strip_geometry(size: int):
     return tuple(yr_off), off, XW
 
 
-def build_tiled_strips_np(images, wrap: int = WRAP_REPEAT):
+def build_tiled_strips_np(images, wrap: int = WRAP_REPEAT,
+                          levels_list=None):
     """images: list of B (S, S, C) float arrays -> TiledStrips (numpy
-    payloads; wrap applies to both axes, like the material bundles)."""
+    payloads; wrap applies to both axes, like the material bundles).
+
+    levels_list: optional per-image explicit mip chains (prefiltered
+    environment reflections) replacing the box mips."""
     B = len(images)
     S = images[0].shape[0]
     C = images[0].shape[-1]
@@ -152,7 +166,9 @@ def build_tiled_strips_np(images, wrap: int = WRAP_REPEAT):
     coarse = np.zeros((B, s_c, C5, LANE), np.float32)
     for b, img in enumerate(images):
         assert img.shape == (S, S, C)
-        qp = _quad_parent_levels_np(img, wrap)
+        qp = _quad_parent_levels_np(
+            img, wrap,
+            levels=None if levels_list is None else levels_list[b])
         for l, lv in enumerate(qp):
             sl = lv.shape[0]
             # wrap rows appended so a 48-row DMA never needs to split
@@ -281,7 +297,14 @@ def plan_rects(u, v, lod, bundle, strips: TiledStrips,
     slot_geom = []            # (s_l arrays or None, y0, x0a, mask)
     for k in range(K_SLOTS):
         bk = slot_bundles[k]
-        mask = bt == bk[:, None, None]
+        # bk == -1 means "no k-th bundle in this tile" — WITHOUT the
+        # bk >= 0 guard the mask matches the UNCOVERED pixels (bt ==
+        # -1), the slot gets live band spans, and the kernel scans its
+        # never-DMA'd rect scratch with zero one-hot weights.  0 x NaN
+        # = NaN: stale NaN-patterned VMEM bits poison the whole band
+        # accumulator (the round-2 hardware NaN-tile incident — tiles
+        # with sky pixels and a single material bundle).
+        mask = (bt == bk[:, None, None]) & (bk >= 0)[:, None, None]
         minlod = jnp.where(mask, lt, jnp.inf).min(axis=(1, 2))
         minlod = jnp.where(jnp.isfinite(minlod), minlod, 0.0)
         if wrap == WRAP_REPEAT:
@@ -355,19 +378,25 @@ def plan_rects(u, v, lod, bundle, strips: TiledStrips,
         if si == K_SLOTS:
             ry = bt * s_c + ry          # coarse rows stacked per bundle
         xtl = rx >> 7
+        xth = xtl
         if taps:
-            # second bilinear tap (+1 in x) may cross a lane-tile
+            # second bilinear tap (+1 in x) may cross a lane-tile: the
+            # HI chunk bound must include it, but the LO bound must stay
+            # on the first tap's tile (reducing lo over the max dropped
+            # the (1-fx) tap when every masked pixel straddled a
+            # 128-lane boundary — ADVICE r2).
             rx2 = (rx + 1) & (s_lb - 1) if wrap == WRAP_REPEAT \
                 else rx + 1
-            xtl = jnp.maximum(xtl, rx2 >> 7)
+            xth = jnp.maximum(xtl, rx2 >> 7)
         rb = ry.reshape(nt, N_BANDS, BAND_H, PX_W)
         xb = xtl.reshape(nt, N_BANDS, BAND_H, PX_W)
+        xbh = xth.reshape(nt, N_BANDS, BAND_H, PX_W)
         mb = mask.reshape(nt, N_BANDS, BAND_H, PX_W)
         big = jnp.int32(1 << 30)
         ry_lo = jnp.where(mb, rb, big).min(axis=(2, 3))
         ry_hi = jnp.where(mb, rb, -1).max(axis=(2, 3))
         xt_lo = jnp.where(mb, xb, big).min(axis=(2, 3))
-        xt_hi = jnp.where(mb, xb, -1).max(axis=(2, 3))
+        xt_hi = jnp.where(mb, xbh, -1).max(axis=(2, 3))
         empty = ry_hi < 0
         if taps:
             ry_hi = ry_hi + 1            # +1-in-y tap rides row ry+1
@@ -397,10 +426,17 @@ def _sample_kernel(info_ref, uvl_ref, bundle_ref, strip_hbm, coarse_hbm,
     taps = mode == "bilinear_taps"
     C5 = GP if taps else 5 * GP
     ohdt = jnp.float32 if taps else jnp.bfloat16
-    tile = pl.program_id(0)
+    grid_step = pl.program_id(0)
+    # info_ref is an 8-tile (8, INFO_WORDS) SMEM window — streamed per
+    # grid step, NOT scalar-prefetched: the full (ntiles, 64) table is
+    # 127.6 KiB at the 510-tile 1080p grid, which collides with the SMEM
+    # capacity and corrupted neighbouring scalar state on hardware (the
+    # late-round-2 NaN-tile / worker-crash incident; CLAUDE.md).  The
+    # window is 8 rows because Mosaic requires sublane-divisible blocks.
+    tile = grid_step % 8
 
     # ---- coarse fallback block: DMA once, persists across grid steps ----
-    @pl.when(tile == 0)
+    @pl.when(grid_step == 0)
     def _():
         for b in range(b_total):
             cp = pltpu.make_async_copy(
@@ -580,6 +616,13 @@ def sample_tiled(strips: TiledStrips, u, v, lod, bundle_id,
             "raw-tap strips require clamp wrap (coarse rows would wrap)"
     XW = strips.strip.shape[-1]
     xw_rect = min(XW, MAX_S)
+    if mode == "bilinear_taps":
+        # The +1-in-y tap rides rect row ry+1: with the full FIT_Y span
+        # and worst-case alignment it landed on row 48 (outside the
+        # 48-row DMA window) and the fy-weighted tap was silently
+        # dropped for bottom-row texels (ADVICE r2) — keep one row of
+        # planning margin.
+        fit_rows = min(fit_rows, FIT_Y - 1)
     info, (ph, pw, ty, tx) = plan_rects(u, v, lod, bundle_id, strips,
                                         wrap=strips.wrap, mode=mode,
                                         xw_rect=xw_rect,
@@ -601,22 +644,36 @@ def sample_tiled(strips: TiledStrips, u, v, lod, bundle_id,
         coarse_level=strips.coarse_level, tiles_x=tx,
         n_xt=xw_rect // LANE, wrap=strips.wrap, mode=mode,
         xw_rect=xw_rect, xw_full=XW)
+    # The per-tile scalar table streams as a (1, INFO_WORDS) SMEM block
+    # per grid step.  Scalar-prefetching the whole table put
+    # ntiles*64 i32 words resident in SMEM — 127.6 KiB at the 510-tile
+    # 1080p grid — which overflowed SMEM capacity on the v5e and
+    # produced NaN tiles / TPU worker crashes (round-2 incident).
+    # pad the info table to a multiple of 8 rows: the SMEM window block
+    # must be sublane-divisible (Mosaic rule); padding rows are never
+    # read (the grid stops at ntiles).
+    nt_pad = -(-ntiles // 8) * 8
+    if nt_pad != ntiles:
+        info = jnp.concatenate(
+            [info, jnp.zeros((nt_pad - ntiles, INFO_WORDS), jnp.int32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(ntiles,),
         in_specs=[
+            pl.BlockSpec((8, INFO_WORDS), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((3, PX_H, PX_W),
-                         lambda i, *_: (0, i // (pw // PX_W),
-                                        i % (pw // PX_W))),
+                         lambda i: (0, i // (pw // PX_W),
+                                    i % (pw // PX_W))),
             pl.BlockSpec((PX_H, PX_W),
-                         lambda i, *_: (i // (pw // PX_W),
-                                        i % (pw // PX_W))),
+                         lambda i: (i // (pw // PX_W),
+                                    i % (pw // PX_W))),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (GP, PX_H, PX_W),
-            lambda i, *_: (0, i // (pw // PX_W), i % (pw // PX_W))),
+            lambda i: (0, i // (pw // PX_W), i % (pw // PX_W))),
         scratch_shapes=[
             pltpu.VMEM((R_ROWS, C5, xw_rect), tdt),
             pltpu.VMEM((R_ROWS, C5, xw_rect), tdt),

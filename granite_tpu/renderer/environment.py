@@ -253,6 +253,30 @@ class Environment:
         self.intensity = intensity
         self.num_levels = int(np.log2(s)) + 1
         self.sky_params = sky_params
+        # Tile-rect form of the same content (ops/tile_sampler): the
+        # per-pixel specular IBL fetch becomes a rect DMA + one-hot MXU
+        # matmul instead of a ~4 ns/index XLA gather.  Reflection dirs
+        # vary fast across a screen tile, so footprints are wide and the
+        # planner self-selects coarse prefiltered levels — exactly the
+        # right content for a prefiltered chain.
+        self.tiled = None
+        if s <= 512:
+            from ..ops.tile_sampler import build_tiled_strips_np
+            if baked is not None:
+                # extend a short prefiltered chain to the full pyramid
+                # (box mips of the roughest level) so every strip level
+                # row is populated
+                chain = list(levels)
+                lv = chain[-1]
+                while lv.shape[0] > 1:
+                    n2 = lv.shape[0] // 2
+                    lv = lv.reshape(n2, 2, n2, 2, lv.shape[-1]) \
+                        .mean(axis=(1, 3)).astype(np.float32)
+                    chain.append(lv)
+                self.tiled = build_tiled_strips_np(
+                    [chain[0]], levels_list=[chain])
+            else:
+                self.tiled = build_tiled_strips_np([sq.astype(np.float32)])
 
     def device_params(self) -> dict:
         return {"env_strips": self.strips, "env_sh": self.sh}
@@ -283,6 +307,27 @@ def sample_environment(strips, dirs, lod):
     # instead of sample_packed_trilinear's two (the 5C LOD strip).
     return sample_packed_lod(strips, jnp.int32(0), u, v, lod,
                              4, wrap=0)[..., :3]
+
+
+def sample_environment_tiled(tiled, dirs, lod, covered=None):
+    """sample_environment through the tile-rect Pallas sampler
+    (ops/tile_sampler): same equirect mapping + quad/parent trilinear,
+    but the fetch is rect DMA + one-hot matmul instead of a per-pixel
+    gather.  covered: optional (H, W) bool — uncovered pixels skip the
+    fetch (and do not inflate tile rects)."""
+    from ..ops.fastmath import equirect_uv
+    from ..ops.tile_sampler import sample_tiled
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    u, v = equirect_uv(x, y, z)
+    s = tiled.size
+    v = jnp.clip(v, 0.5 / s, 1.0 - 0.5 / s)
+    if covered is None:
+        bundle = jnp.zeros(u.shape, jnp.int32)
+    else:
+        bundle = jnp.where(covered, 0, -1).astype(jnp.int32)
+    out = sample_tiled(tiled, u, v, jnp.asarray(lod, jnp.float32),
+                       bundle)
+    return out[..., :3]
 
 
 def analytic_sky(dirs, sun_dir=(0.35, 0.9, 0.25),

@@ -863,26 +863,44 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
                 jnp.abs(wp[..., 3:4]) < 1e-20, 1e-20, wp[..., 3:4]) \
                 - params["camera_pos"]
             cov = surf["covered"]
+            tiled = env.get("tiled")
             if env.get("sky_params"):
-                # Procedural env: ANALYTIC sky (zero gathers) + spec IBL
-                # sampled at half res and bilinearly upsampled — the
-                # prefiltered chain is low-frequency, and per-pixel
-                # gathers cost ~11ns/index, so index count is the lever.
+                # Procedural env: ANALYTIC sky (zero gathers) for the
+                # background.  Specular IBL: tile-rect Pallas fetch at
+                # full res when the env carries tiled strips (reflection
+                # footprints are wide -> the planner picks coarse
+                # prefiltered levels, few rect rows); otherwise the
+                # classic half-res gather + bilinear upsample.
                 from .environment import analytic_sky
                 background = analytic_sky(view_dirs, **env["sky_params"])
-                from ..ops.hdr import resize_bilinear
-                spec_h = sample_environment(
-                    env["strips"], refl[::2, ::2], lod[::2, ::2])
-                spec_env = resize_bilinear(spec_h, height, width)
+                if tiled is not None:
+                    from .environment import sample_environment_tiled
+                    spec_env = sample_environment_tiled(
+                        tiled, refl, lod, covered=cov)
+                else:
+                    from ..ops.hdr import resize_bilinear
+                    spec_h = sample_environment(
+                        env["strips"], refl[::2, ::2], lod[::2, ::2])
+                    spec_env = resize_bilinear(spec_h, height, width)
             else:
                 # File-based env: merge the IBL-specular and skybox
                 # fetches into ONE full-res sample stream (covered
                 # pixels reflect, background pixels view ray at lod 0).
                 dirs = jnp.where(cov[..., None], refl, view_dirs)
                 lod = jnp.where(cov, lod, 0.0)
-                env_sample = sample_environment(env["strips"], dirs, lod)
+                if tiled is not None:
+                    from .environment import sample_environment_tiled
+                    env_sample = sample_environment_tiled(tiled, dirs,
+                                                          lod)
+                else:
+                    env_sample = sample_environment(env["strips"], dirs,
+                                                    lod)
                 spec_env = env_sample
                 background = env_sample
+        elif env.get("tiled") is not None:
+            from .environment import sample_environment_tiled
+            spec_env = sample_environment_tiled(env["tiled"], refl, lod,
+                                                covered=surf["covered"])
         else:
             spec_env = sample_environment(env["strips"], refl, lod)
         f0 = compute_f0(base, metal)

@@ -207,3 +207,50 @@ def test_execute_chain_matches_sequential():
     for k in a._history:
         assert np.allclose(np.asarray(a._history[k]),
                            np.asarray(b._history[k]), atol=1e-6), k
+    # DCE guard: the chain checksum must equal the sum of every SCANNED
+    # frame's backbuffer (frames 2..n-1 here; frame 1 ran unchained to
+    # build params, frame n ships unstacked).  If XLA dead-code-
+    # eliminated history-free passes inside the scan (the round-2 bench
+    # invalidity), the checksum would differ.
+    c = make()
+    seq_frames = [np.asarray(c.render_frame(1 / 60, i / 60), np.float64)
+                  for i in range(4)]
+    expect = sum(f.sum() for f in seq_frames[1:3])
+    got = float(np.asarray(b._last_chain_checksum))
+    assert np.isfinite(got)
+    assert abs(got - expect) <= 1e-3 * max(abs(expect), 1.0)
+
+
+def test_execute_chain_matches_sequential_taa():
+    """TAA (history feedback + jitter banks) chains: stacked per-frame
+    jittered view-proj matrices reproduce the sequential frames."""
+    import json
+    import tempfile
+    import types
+
+    import numpy as np
+
+    from granite_tpu.app.scene_viewer import SceneViewerApplication
+
+    cfg = {"renderer": "deferred", "hdrBloom": True, "postAA": "taa",
+           "shadowMapResolution": 32, "clusteredLightsShadows": False}
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(cfg, f)
+        path = f.name
+
+    def make():
+        app = SceneViewerApplication(types.SimpleNamespace(
+            scene=None, config=path, camera_index=-1, bench_scene=False))
+        app.swapchain_updated(64, 36)
+        return app
+
+    a = make()
+    out_seq = None
+    for i in range(4):
+        out_seq = a.render_frame(1 / 60, i / 60)
+
+    b = make()
+    out_chain = b.render_frames_chained(1 / 60, 0.0, 4)
+    assert a._jitter is not None and a._jitter.phase == b._jitter.phase
+    assert np.array_equal(np.asarray(out_seq), np.asarray(out_chain))

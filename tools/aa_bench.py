@@ -29,6 +29,7 @@ def run_mode(args, mode: str, outdir: str):
     cmd = [sys.executable, "-m", "granite_tpu.app.scene_viewer",
            "--width", str(args.width), "--height", str(args.height),
            "--frames", str(args.frames), "--time-step", "0.0166",
+           "--chain",
            "--config", cfg_path, "--stat", stat, "--png-path", png]
     if args.scene:
         cmd += ["--scene", args.scene]
