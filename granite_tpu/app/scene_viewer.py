@@ -88,6 +88,9 @@ class ViewerConfig:
     # it on TPU for eligible scenes (S<=512, <=8 bundles, no streaming);
     # true/false force it.  The classic XLA gather path is the fallback.
     material_tile_sampler: str = "auto"
+    # Specular-IBL/skybox fetch through the tile-rect sampler (follows
+    # materialTileSampler unless forced here).
+    env_tile_sampler: bool = True
     texture_budget_mb: float = 0.0
     # renderTargetFp16: HDR intermediates (lit color, TAA history, bloom
     # chain) stored as f16 (the reference's RT format knob).
@@ -138,6 +141,7 @@ class ViewerConfig:
                 "volumetric_diffuse_face_resolution",
             "textureStreaming": "texture_streaming",
             "materialTileSampler": "material_tile_sampler",
+            "envTileSampler": "env_tile_sampler",
             "shadowTermHalfRes": "shadow_term_half_res",
             "textureBudgetMB": "texture_budget_mb",
             "renderTargetFp16": "render_target_fp16",
@@ -870,6 +874,14 @@ class SceneViewerApplication(Application):
         g.bake()
         g.log()
         self._history = g.initial_history()
+
+    def reset_history(self) -> None:
+        """Re-clear the carried history resources (TAA feedback, exposure
+        adaptation, occlusion visibility) to their frame-0 state — the
+        like-for-like precondition when comparing sequential vs chained
+        runs (tools/hw_verify.py): adaptation history otherwise makes
+        frame 1 differ from frame N by construction."""
+        self._history = self.graph.initial_history()
 
     def _add_hdr_chain(self, g, rel, hdr_name: str = "hdr",
                        rel_rt=None) -> str:
@@ -1753,6 +1765,7 @@ class SceneViewerApplication(Application):
             **({"env_tiled_strip": self.environment.tiled.strip,
                 "env_tiled_coarse": self.environment.tiled.coarse}
                if (self._use_tile_sampler
+                   and self.config.env_tile_sampler
                    and self.environment.tiled is not None) else {}),
             **({"static_vsm_moments": self._static_vsm[0],
                 "static_vsm_strip": self._static_vsm[1],

@@ -68,8 +68,16 @@ PLANE_EMISSIVE = 25   # 3
 PLANE_PREV = 28       # 3
 NUM_PLANES = 32
 
-MAX_TILE_E = 2048     # VMEM packet-table capacity per tile
-OH_CHUNK = 256        # one-hot matmul chunk
+# (Round-3 redesign: the old fixed-capacity VMEM packet table
+# (MAX_TILE_E = 2048) silently dropped geometry on dense tiles — the
+# bench's sphere cluster reaches >30k entries in one 32x128 tile at
+# 1080p and >100k at 360p, so whole tiles lost their floor (the huge
+# list filled last) and showed sky.  The kernel is now CAPACITY-FREE:
+# pass 1 streams every packet chunk (double-buffered DMA, early-z
+# termination on the front-to-back order), tracking the winning GLOBAL
+# packet row per pixel; pass 2 re-streams only the chunks pass 1
+# visited and accumulates the winner's payload with exact-id one-hot
+# MXU matmuls.)
 
 
 def build_resolve_extra(scene, world_pos, world_normal, world_tangent,
@@ -102,9 +110,11 @@ def build_resolve_extra(scene, world_pos, world_normal, world_tangent,
 def _fused_kernel(starts_ref, huge_count_ref,
                   packets_hbm, huge_hbm,
                   planes_out,
-                  table, dma_sems, depth_s, win_s,
+                  pkt_scratch, dma_sems, depth_s, win_s, acc_s,
+                  stops_smem,
                   *, tiles_x: int, span_w: int, span_h: int,
                   has_prev: bool):
+    from .raster_binned import COL_ZMAX, MAX_ENTRIES_PER_TILE
     tile = pl.program_id(0)
     ty = tile // tiles_x
     tx = tile % tiles_x
@@ -115,53 +125,73 @@ def _fused_kernel(starts_ref, huge_count_ref,
           .astype(jnp.float32) + ((ty * TILE_H).astype(jnp.float32) + 0.5))
 
     depth_s[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    # Winner slot; MAX_TILE_E - 1 is the reserved zero row (background).
-    win_s[:] = jnp.full((TILE_H, TILE_W), MAX_TILE_E - 1, jnp.int32)
-    # Zero the table: the one-hot matmul multiplies UNMATCHED rows by 0,
-    # and 0 * garbage-NaN from uninitialized VMEM would poison the
-    # accumulator.
-    table[:] = jnp.zeros((MAX_TILE_E, PACKET_F32), jnp.float32)
+    win_s[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)   # -1=background
 
-    # ---- gather this tile's packet ranges into the VMEM table ----------
-    def copy_range(hbm_ref, src_start, dst_start, count, sem_slot):
-        # Headroom: chunked copies may overshoot by CHUNK-1 rows and the
-        # last row is the reserved background slot.
-        n = jnp.minimum(count, MAX_TILE_E - 1 - CHUNK - dst_start)
-        n = jnp.maximum(n, 0)
-        nc = pl.cdiv(n, CHUNK)
+    # Huge-list winners get global ids offset past the small array.
+    HUGE_BASE = packets_hbm.shape[0]
 
-        def body(i, _):
-            sz = CHUNK
-            cp = pltpu.make_async_copy(
-                hbm_ref.at[pl.ds(src_start + i * CHUNK, sz), :],
-                table.at[pl.ds(dst_start + i * CHUNK, sz), :],
-                dma_sems.at[sem_slot])
-            cp.start()
-            cp.wait()
-            return 0
-        jax.lax.fori_loop(0, nc, body, 0)
-        return dst_start + n
+    def ranges():
+        """(ref, start, count, gid_base, slot) per window bin + huge.
 
-    dst = jnp.int32(0)
-    for wy in range(span_h):
-        by = ty - wy
-        bx0 = jnp.maximum(tx - (span_w - 1), 0)
-        base_idx = by * tiles_x
-        start = starts_ref[jnp.maximum(base_idx, 0) + bx0]
-        end = starts_ref[jnp.maximum(base_idx, 0) + tx + 1]
-        count = jnp.where(by >= 0, end - start, 0)
-        dst = copy_range(packets_hbm, start, dst, count, 0)
-    dst = copy_range(huge_hbm, 0, dst, huge_count_ref[0], 0)
-    count_total = dst
+        A triangle overlapping this tile was binned at its top-left
+        covered tile — within the (span_w, span_h) window up-left.  Each
+        bin is one contiguous, front-to-back packet range."""
+        out = []
+        slot = 0
+        for wy in range(span_h):
+            for wx in range(span_w):
+                out.append((wy, wx, slot))
+                slot += 1
+        return out
 
-    # ---- raster from the table -----------------------------------------
-    n_chunks = pl.cdiv(count_total, CHUNK)
+    def walk(hbm_ref, start, count, gid_base, on_chunk, n_chunks_cap):
+        """Stream [start, start+count) in CHUNK rows with double-
+        buffered DMA; on_chunk(i, c, valid_rows) returns stop (early-z).
+        Returns chunks processed."""
+        count = jnp.minimum(count, MAX_ENTRIES_PER_TILE)
+        n_chunks = jnp.minimum(pl.cdiv(count, CHUNK), n_chunks_cap)
 
-    def chunk_body(ci, _):
-        c = table[pl.ds(ci * CHUNK, CHUNK), :]
-        valid_rows = (jax.lax.broadcasted_iota(
-            jnp.int32, (CHUNK, 1), 0)[:, 0] + ci * CHUNK) < count_total
-        c = jnp.where(valid_rows[:, None], c, 0.0)
+        def get_dma(buf, i):
+            return pltpu.make_async_copy(
+                hbm_ref.at[pl.ds(start + i * CHUNK, CHUNK), :],
+                pkt_scratch.at[buf],
+                dma_sems.at[buf])
+
+        def cond(state):
+            i, stop = state
+            return (i < n_chunks) & jnp.logical_not(stop)
+
+        def body(state):
+            i, _ = state
+            buf = i % 2
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                get_dma((i + 1) % 2, i + 1).start()
+            get_dma(buf, i).wait()
+            c = pkt_scratch[buf]
+            valid_rows = (jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, 1), 0)[:, 0] + i * CHUNK) < count
+            c = jnp.where(valid_rows[:, None], c, 0.0)
+            # asarray: a Python-bool stop (pass 2 never stops early)
+            # must still lower as i1 in the while carry (Mosaic).
+            stop = jnp.asarray(on_chunk(i, c, gid_base + i * CHUNK),
+                               dtype=jnp.bool_)
+            return (i + 1, stop)
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, 0).start()
+        fi, stopped = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), n_chunks <= 0))
+        # Drain the speculative lookahead DMA of an early stop (an
+        # unawaited semaphore would corrupt the next grid step).
+        @pl.when(stopped & (fi < n_chunks) & (fi > 0))
+        def _():
+            get_dma(fi % 2, fi).wait()
+        return fi
+
+    # ---- PASS 1: raster every chunk, winner = global packet row --------
+    def raster_chunk(i, c, gid0):
         depth_cur = depth_s[:]
         win_cur = win_s[:]
         for k in range(CHUNK):
@@ -181,33 +211,57 @@ def _fused_kernel(starts_ref, huge_count_ref,
             cover = lam_ok & (z >= 0.0) & (z <= 1.0)
             hit = cover & (z > depth_cur)
             depth_cur = jnp.where(hit, z, depth_cur)
-            win_cur = jnp.where(hit, ci * CHUNK + k, win_cur)
+            win_cur = jnp.where(hit, gid0 + k, win_cur)
         depth_s[:] = depth_cur
         win_s[:] = win_cur
-        return 0
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        # EARLY-Z (see raster_binned): front-to-back order makes the
+        # chunk's conservative bound monotone within the bin range.
+        return jnp.max(c[:, COL_ZMAX]) <= jnp.min(depth_cur)
 
-    # ---- one-hot MXU fetch of the winners' payload ----------------------
-    idx_flat = win_s[:].reshape(1, TILE_H * TILE_W)       # (1, P)
-    acc = jnp.zeros((EXTRA_COLS, TILE_H * TILE_W), jnp.float32)
-    oh_chunks = pl.cdiv(
-        jnp.minimum(count_total + 1, MAX_TILE_E), OH_CHUNK)
+    for wy, wx, slot in ranges():
+        by = ty - wy
+        bx = tx - wx
+        b = jnp.maximum(by, 0) * tiles_x + jnp.maximum(bx, 0)
+        start = starts_ref[b]
+        count = jnp.where((by >= 0) & (bx >= 0),
+                          starts_ref[b + 1] - start, 0)
+        done = walk(packets_hbm, start, count, start, raster_chunk,
+                    jnp.int32(MAX_ENTRIES_PER_TILE // CHUNK))
+        stops_smem[slot] = done
+    done = walk(huge_hbm, 0, huge_count_ref[0], HUGE_BASE, raster_chunk,
+                jnp.int32(MAX_ENTRIES_PER_TILE // CHUNK))
+    stops_smem[span_h * span_w] = done
 
-    def oh_body(ci, acc):
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (OH_CHUNK, TILE_H * TILE_W), 0) + ci * OH_CHUNK
-        oh = (rows == idx_flat).astype(jnp.float32)       # (C, P)
-        w = table[pl.ds(ci * OH_CHUNK, OH_CHUNK),
-                  PAYLOAD_LO:PAYLOAD_LO + EXTRA_COLS]      # (C, 64)
-        acc = acc + jax.lax.dot_general(
-            w, oh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (64, P)
-        return acc
-    # The background row (MAX_TILE_E-1) may fall outside the looped
-    # chunks; its payload is zero anyway, so fetching nothing is correct.
-    acc = jax.lax.fori_loop(0, oh_chunks, oh_body, acc)
+    # ---- PASS 2: exact-id one-hot payload accumulation ------------------
+    # Winners can only live in chunks pass 1 visited (early-stopped
+    # chunks all lost the depth test), so each range re-streams at most
+    # stops_smem[slot] chunks.
+    acc_s[:] = jnp.zeros((EXTRA_COLS, TILE_H * TILE_W), jnp.float32)
+    idx_flat = win_s[:].reshape(1, TILE_H * TILE_W)        # (1, P)
 
-    v = acc.reshape(EXTRA_COLS, TILE_H, TILE_W)
+    def payload_chunk(i, c, gid0):
+        ids = (jax.lax.broadcasted_iota(
+            jnp.int32, (CHUNK, TILE_H * TILE_W), 0) + gid0)
+        match = (ids == idx_flat).astype(jnp.float32)       # (CHUNK, P)
+        w = c[:, PAYLOAD_LO:PAYLOAD_LO + EXTRA_COLS]        # (CHUNK, 64)
+        acc_s[:] = acc_s[:] + jax.lax.dot_general(
+            w, match, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (64, P)
+        return False
+
+    for wy, wx, slot in ranges():
+        by = ty - wy
+        bx = tx - wx
+        b = jnp.maximum(by, 0) * tiles_x + jnp.maximum(bx, 0)
+        start = starts_ref[b]
+        count = jnp.where((by >= 0) & (bx >= 0),
+                          starts_ref[b + 1] - start, 0)
+        walk(packets_hbm, start, count, start, payload_chunk,
+             stops_smem[slot])
+    walk(huge_hbm, 0, huge_count_ref[0], HUGE_BASE, payload_chunk,
+         stops_smem[span_h * span_w])
+
+    v = acc_s[:].reshape(EXTRA_COLS, TILE_H, TILE_W)
     # Payload columns relative to PAYLOAD_LO (=21):
     # [0:9] adj | [9:45] corners | [45:49] base | [49:51] mr |
     # [51] bundle | [52:55] emissive | [55:64] prev corners
@@ -231,7 +285,7 @@ def _fused_kernel(starts_ref, huge_count_ref,
     D = jnp.where(jnp.abs(D) < 1e-20, 1e-20, D)
     inv_d = 1.0 / D
 
-    covered = (win_s[:] != MAX_TILE_E - 1).astype(jnp.float32)
+    covered = (win_s[:] != -1).astype(jnp.float32)
 
     def interp(c0, c1, c2):
         n = lam[0] * c0 + lam[1] * c1 + lam[2] * c2
@@ -322,10 +376,12 @@ def rasterize_resolve(setup: TriangleSetup, extra, width: int,
             lambda i, *_: (0, i // (pw // TILE_W), i % (pw // TILE_W)),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((MAX_TILE_E, PACKET_F32), jnp.float32),
+            pltpu.VMEM((2, CHUNK, PACKET_F32), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
             pltpu.VMEM((TILE_H, TILE_W), jnp.int32),
+            pltpu.VMEM((EXTRA_COLS, TILE_H * TILE_W), jnp.float32),
+            pltpu.SMEM((span_h * span_w + 1,), jnp.int32),
         ],
     )
     planes = pl.pallas_call(

@@ -2,6 +2,7 @@
 sequence, resolve convergence; FXAA edge smoothing."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from granite_tpu.ops.taa import (
@@ -156,6 +157,7 @@ def test_taa_resolve_uses_object_mv():
     assert center[0] > 1.5, center
 
 
+@pytest.mark.slow
 def test_smaa_diagonal_staircase():
     """A 45-degree staircase must get diagonal blending (output values
     strictly between the two colors along the diagonal)."""

@@ -63,6 +63,7 @@ def test_breadcrumbs_nan_detection():
     assert "[NaN/Inf!]" in crumbs.report()
 
 
+@pytest.mark.slow
 def test_viewer_hot_reload(tmp_path):
     import json
     import os

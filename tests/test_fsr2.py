@@ -7,6 +7,7 @@ import types
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from granite_tpu.ops.fsr2 import (
     fsr2_jitter_phases, fsr2_upscale, halton, rcas_sharpen,
@@ -45,6 +46,7 @@ def test_rcas_no_ring_and_sharpens():
     assert sh[4, 3, 0] <= edge[4, 3, 0] + 1e-6   # dark side darker/equal
 
 
+@pytest.mark.slow
 def test_upscale_shapes_and_stability():
     """Constant input converges to the constant at display res."""
     h, w, H, W = 9, 16, 18, 32
@@ -60,6 +62,7 @@ def test_upscale_shapes_and_stability():
     assert np.allclose(np.asarray(out), 0.25, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_subpixel_detail_recovery():
     """Accumulating a full jitter cycle recovers display-res detail a
     single bilinear upsample cannot: a display-res checkerboard whose

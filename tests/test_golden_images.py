@@ -19,7 +19,11 @@ from granite_tpu.utils.image_io import load_image
 PSNR_GATE_DB = 35.0
 
 
-@pytest.mark.parametrize("name", sorted(CONFIGS))
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=[pytest.mark.slow] if n.startswith("deferred")
+                  else [])
+     for n in sorted(CONFIGS)])
 def test_golden(name):
     path = os.path.join(GOLDEN_DIR, f"{name}.png")
     if not os.path.exists(path):

@@ -1,6 +1,7 @@
 """HiZ pyramid + occlusion culling tests (hiz.cpp test analogue)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from granite_tpu.math import perspective, look_at_matrix
@@ -51,6 +52,7 @@ def test_project_aabbs():
     assert 0.0 < float(maxz[0]) < 1.0
 
 
+@pytest.mark.slow
 def test_viewer_occlusion_knob(tmp_path):
     import json
     import types
@@ -69,6 +71,7 @@ def test_viewer_occlusion_knob(tmp_path):
     assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_two_phase_occlusion_matches_uncullled_render():
     """Two-phase culling is conservative: the rendered image equals the
     uncull render (scene_renderer.hpp:132 First/Second phases), and the

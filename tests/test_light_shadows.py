@@ -2,6 +2,7 @@
 renderer/lights/clusterer.hpp:52-58 shadow atlas)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from granite_tpu.ops.light_shadows import (
@@ -44,6 +45,7 @@ def _blocker_scene():
     return info
 
 
+@pytest.mark.slow
 def test_point_light_shadow_atlas_blocks():
     """Floor directly under the blocker is shadowed; far floor is lit."""
     info = _blocker_scene()
@@ -75,6 +77,7 @@ def test_point_light_shadow_atlas_blocks():
     assert terms[2] > 0.7, terms
 
 
+@pytest.mark.slow
 def test_spot_light_shadow_and_cone():
     info = _blocker_scene()
     packed = pack_scene(info)

@@ -2,6 +2,7 @@
 fake-backend trick of SURVEY.md §4.7)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -61,6 +62,7 @@ def test_repacker_dedup(tmp_path):
     assert md.indices.max() < 4
 
 
+@pytest.mark.slow
 def test_shard_real_deferred_graph():
     """The FULL deferred HDR viewer graph sharded over the 8-device CPU
     mesh matches single-device execution bit-for-bit-ish (VERDICT

@@ -2,6 +2,7 @@
 bit-identical visibility buffers on random scenes (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from granite_tpu.math import perspective, look_at_matrix
@@ -85,6 +86,7 @@ def test_binning_ranges():
     assert (counts > 0).sum() == 1
 
 
+@pytest.mark.slow
 def test_compaction_equivalence():
     # max_visible compaction with enough capacity is bit-identical.
     clip, idx = random_scene(50, seed=7)
@@ -110,6 +112,7 @@ def test_empty_scene():
     assert not (np.asarray(t) >= 0).any()
 
 
+@pytest.mark.slow
 def test_overflow_stats():
     clip, idx = random_scene(60, seed=3)
     setup = setup_triangles(clip, idx, W, H, cull_mode=CULL_NONE)

@@ -171,6 +171,7 @@ def test_disabled_pass_feeding_backbuffer_raises():
         g.bake()
 
 
+@pytest.mark.slow
 def test_execute_chain_matches_sequential():
     """graph.execute_chain (the present-chain fast path) produces the
     same final backbuffer + history as per-frame execute."""
@@ -221,6 +222,7 @@ def test_execute_chain_matches_sequential():
     assert abs(got - expect) <= 1e-3 * max(abs(expect), 1.0)
 
 
+@pytest.mark.slow
 def test_execute_chain_matches_sequential_taa():
     """TAA (history feedback + jitter banks) chains: stacked per-frame
     jittered view-proj matrices reproduce the sequential frames."""

@@ -36,6 +36,7 @@ def _grid(H, W, u_range, v_range):
     return jnp.asarray(u), jnp.asarray(v)
 
 
+@pytest.mark.slow
 def test_single_bundle_matches_classic():
     S, C = 64, 4
     images = _smooth_images(1, S, C)
@@ -131,6 +132,7 @@ def test_mixed_lod_tile_never_aliases():
     assert got.max() <= images[0].max() + 1e-2
 
 
+@pytest.mark.slow
 def test_vsm_tiled_matches_classic():
     """The tiled VSM path evaluates the Chebyshev term at half res
     (blurred moments -> the term is low-frequency); against a classic

@@ -7,6 +7,7 @@ import types
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from granite_tpu.renderer.volumetric_diffuse import (
     DiffuseVolume, ambient_cube_integral, bake_volume,
@@ -116,6 +117,7 @@ def test_bake_volume_synthetic():
     assert np.allclose(pp[0, 0, 0], [-0.25, -0.25, -0.25])
 
 
+@pytest.mark.slow
 def test_viewer_volumetric_diffuse_knob():
     """volumetricDiffuse knob: bakes a volume over the procedural scene
     and shades with it (replaces the SH ambient)."""

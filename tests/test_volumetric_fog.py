@@ -1,6 +1,7 @@
 """Volumetric fog tests (lights/volumetric_fog.cpp behavioral port)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from granite_tpu.math.muglm import perspective
@@ -32,6 +33,7 @@ def test_accumulate_matches_serial_recurrence():
     assert (out[..., 3] <= 1.0 + 1e-6).all()
 
 
+@pytest.mark.slow
 def test_fog_volume_and_apply():
     proj = perspective(np.pi / 3, 1.0, 0.1)
     ivp = jnp.asarray(np.linalg.inv(proj).astype(np.float32))
@@ -79,6 +81,7 @@ def test_fog_regions_density():
     assert abs(d2[0] - 2.0) < 1e-5
 
 
+@pytest.mark.slow
 def test_viewer_fog_regions_knob():
     import json
     import tempfile

@@ -14,8 +14,9 @@ Checks:
      show up as zeroed rects after the containment clamp);
   3. the chained run's DCE-proof checksum is finite and consistent with
      frames x (single-frame sum) within tolerance;
-  4. single frame and chained final frame agree exactly (the chain is
-     the timed path — it must render the same image).
+  4. sequential frame N and chained frame N agree exactly from the same
+     initial history (the chain is the timed path — it must render the
+     same image).
 
 Reference analogue: application_headless.cpp:440-461 PNG dump +
 tools/image_compare.cpp gates, run as a deploy gate.
@@ -66,7 +67,16 @@ def main(argv=None) -> int:
 
     failures = []
 
-    single = np.asarray(app.render_frame(1 / 60, 0.0))
+    # Like-for-like: N sequential frames vs N chained frames, both from
+    # freshly-cleared history (exposure adaptation otherwise makes frame
+    # 1 differ from frame N by construction).  The first sequential
+    # frame also warms the per-frame executable and the param cache the
+    # chain reuses.
+    seq = None
+    for _ in range(args.frames):
+        seq = app.render_frame(1 / 60, 0.0)
+    seq = np.asarray(seq)
+    app.reset_history()
     chained = np.asarray(app.render_frames_chained(1 / 60, 1 / 60,
                                                    args.frames))
     chk = getattr(app, "_last_chain_checksum", None)
@@ -115,10 +125,11 @@ def main(argv=None) -> int:
                 f"checksum {chk:.3e} vs ~{n_scanned}x frame sum "
                 f"{n_scanned * per_frame:.3e} — scanned frames diverge")
 
-    # 4. single == chained final (static scene)
-    if not np.array_equal(single, chained):
-        diff = int((single != chained).sum())
-        failures.append(f"single frame != chained final frame "
+    # 4. sequential frame N == chained frame N (static scene, same
+    # initial history)
+    if not np.array_equal(seq, chained):
+        diff = int((seq != chained).sum())
+        failures.append(f"sequential final frame != chained final frame "
                         f"({diff} bytes differ)")
 
     report = {
