@@ -90,6 +90,11 @@ class InputTracker:
         self.mouse_y = 0.0
         self.mouse_active = False
         self._manager = manager or EventManager.get()
+        # Optional UI filter (ui_manager.hpp input hooks): called as
+        # filter('press'|'move'|'release', x, y) BEFORE dispatch; a
+        # True return means the UI consumed the event and the camera/
+        # app handlers never see it.
+        self.input_filter = None
 
     def key_pressed(self, key: Key) -> bool:            # input.hpp:179
         return bool(self.key_state & (1 << int(key)))
@@ -114,6 +119,9 @@ class InputTracker:
             self.mouse_button_state &= ~bit
         self.mouse_x = x
         self.mouse_y = y
+        if self.input_filter is not None and \
+                self.input_filter("press" if pressed else "release", x, y):
+            return
         self._manager.dispatch_inline(
             MouseButtonEvent(button, x, y, pressed))
 
@@ -126,6 +134,9 @@ class InputTracker:
         dy = y - self.mouse_y
         self.mouse_x = x
         self.mouse_y = y
+        if self.input_filter is not None and \
+                self.input_filter("move", x, y):
+            return
         self._manager.dispatch_inline(MouseMoveEvent(
             dx, dy, x, y, self.key_state, self.mouse_button_state))
 

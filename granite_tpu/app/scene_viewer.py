@@ -1738,17 +1738,26 @@ class SceneViewerApplication(Application):
                     moments, vstrip, vcoarse = vcached[1]
                 self._static_vsm = (moments, vstrip, vcoarse)
         if self.config.show_ui:
-            from ..ui.flat_renderer import FlatRenderer
-            if not hasattr(self, "_flat") or \
-                    self._flat.width != self.width:
-                self._flat = FlatRenderer(self.width, self.height)
-            fr = self._flat
-            fr.begin()
-            fr.render_quad(4, 4, 240, 24, (0, 0, 0, 0.55))
-            fr.render_text(
-                f"granite tpu {frame_time * 1000:5.1f} ms "
-                f"{len(self.packed.indices)} tris", 8, 10,
-                (1, 1, 1, 1), scale=1)
+            # Retained widget tree (ui/widgets.py; ui_manager.hpp:44):
+            # a stats window by default, extensible by the app.  The
+            # tree renders into the host RGBA overlay each frame; the
+            # device-side UI pass composites it.
+            if getattr(self, "ui_manager", None) is None or \
+                    self.ui_manager.width != self.width:
+                from ..ui.widgets import Label, UIManager, Window
+                self.ui_manager = UIManager(self.width, self.height)
+                win = self.ui_manager.add_child(Window("granite tpu"))
+                self._ui_stats_label = win.add_child(Label(""))
+                if getattr(self, "input_tracker", None) is not None:
+                    # UI filters pointer events before the camera
+                    # (ui_manager.hpp input hooks).
+                    self.input_tracker.input_filter = \
+                        self.ui_manager.filter_input_event
+            self._ui_stats_label.set_text(
+                f"{frame_time * 1000:5.1f} ms "
+                f"{len(self.packed.indices)} tris")
+            self._flat = self.ui_manager.flat
+            self.ui_manager.render()
         params = {
             "scene_arrays": self._scene_arrays,
             "external": {"world": jnp.asarray(world),
