@@ -91,6 +91,10 @@ class ViewerConfig:
     # Specular-IBL/skybox fetch through the tile-rect sampler (follows
     # materialTileSampler unless forced here).
     env_tile_sampler: bool = True
+    # MeshEncoding (resource_manager.hpp:85-92): "meshlet" re-encodes
+    # static meshes through the MLT2 codec at load and decodes at
+    # instantiation (MeshletDecoded); "classic" keeps raw SoA.
+    mesh_encoding: str = "classic"
     texture_budget_mb: float = 0.0
     # renderTargetFp16: HDR intermediates (lit color, TAA history, bloom
     # chain) stored as f16 (the reference's RT format knob).
@@ -142,6 +146,7 @@ class ViewerConfig:
             "textureStreaming": "texture_streaming",
             "materialTileSampler": "material_tile_sampler",
             "envTileSampler": "env_tile_sampler",
+            "meshEncoding": "mesh_encoding",
             "shadowTermHalfRes": "shadow_term_half_res",
             "textureBudgetMB": "texture_budget_mb",
             "renderTargetFp16": "render_target_fp16",
@@ -350,6 +355,18 @@ class SceneViewerApplication(Application):
                 self.scene.update_transform_tree()
                 LOGI("rescaleScene: radius %.3f -> 10 (x%.3f)", radius,
                      factor)
+        if self.config.mesh_encoding == "meshlet":
+            # Static meshes route through the MLT2 meshlet streams
+            # (skinned/morph meshes keep classic: joints/deltas have no
+            # stream yet — same split as MeshEncoding per-mesh choice).
+            n_enc = 0
+            for i, md in enumerate(info.meshes):
+                if md.joints is None and md.morph_position_deltas is None \
+                        and md.encoding == "classic":
+                    info.meshes[i] = md.to_meshlets()
+                    n_enc += 1
+            LOGI("meshEncoding=meshlet: %d/%d meshes re-encoded",
+                 n_enc, len(info.meshes))
         budget = int(self.config.texture_budget_mb * 2**20) \
             if self.config.texture_budget_mb > 0 else None
         mts = self.config.material_tile_sampler

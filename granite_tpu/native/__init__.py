@@ -65,6 +65,16 @@ def get_lib() -> ctypes.CDLL:
                                    i32p, ctypes.POINTER(ctypes.c_int),
                                    ctypes.POINTER(ctypes.c_int)]
     lib.meshlet_decode.restype = ctypes.c_int
+    lib.meshlet2_encode.argtypes = [f32p, f32p, f32p, ctypes.c_int, i32p,
+                                    ctypes.c_int, u8p, ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_int),
+                                    ctypes.POINTER(ctypes.c_int)]
+    lib.meshlet2_encode.restype = ctypes.c_int
+    lib.meshlet2_decode.argtypes = [u8p, ctypes.c_int, ctypes.c_int, f32p,
+                                    f32p, f32p, i32p,
+                                    ctypes.POINTER(ctypes.c_int),
+                                    ctypes.POINTER(ctypes.c_int)]
+    lib.meshlet2_decode.restype = ctypes.c_int
     lib.decode_bc6h.argtypes = [u8p, f32p, ctypes.c_int, ctypes.c_int,
                                 ctypes.c_int]
     lib.decode_bc6h.restype = None
@@ -170,6 +180,62 @@ def meshlet_decode(blob: bytes, num_meshlets: int, max_vertices: int,
     if rc != 0:
         raise RuntimeError(f"meshlet_decode failed rc={rc}")
     return pos[:nv.value].copy(), idx[:nt.value].copy()
+
+
+def meshlet2_encode(positions: np.ndarray, normals, uvs,
+                    indices: np.ndarray):
+    """Full-attribute meshlet streams (MLT2: pos 16-bit unorm in AABB,
+    oct-16 normals, UV 16-bit unorm in UV AABB).  Returns (blob,
+    num_meshlets).  Reference stream set: vulkan/mesh/meshlet.hpp:85-93."""
+    lib = get_lib()
+    f32p = ctypes.POINTER(ctypes.c_float)
+    positions = np.ascontiguousarray(positions, np.float32)
+    nv = len(positions)
+    if normals is None:
+        normals = np.zeros((nv, 3), np.float32)
+    if uvs is None:
+        uvs = np.zeros((nv, 2), np.float32)
+    normals = np.ascontiguousarray(normals, np.float32)
+    uvs = np.ascontiguousarray(uvs, np.float32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    nt = len(indices)
+    cap = 128 + nv * 24 + nt * 16
+    out = np.empty(cap, np.uint8)
+    size = ctypes.c_int()
+    meshlets = ctypes.c_int()
+    rc = lib.meshlet2_encode(
+        positions.ctypes.data_as(f32p), normals.ctypes.data_as(f32p),
+        uvs.ctypes.data_as(f32p), nv,
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), nt,
+        _u8(out), cap, ctypes.byref(size), ctypes.byref(meshlets))
+    if rc != 0:
+        raise RuntimeError(f"meshlet2_encode failed rc={rc}")
+    return bytes(out[:size.value]), meshlets.value
+
+
+def meshlet2_decode(blob: bytes, num_meshlets: int, max_vertices: int,
+                    max_triangles: int):
+    """Returns (positions (V,3), normals (V,3), uvs (V,2), indices
+    (T,3))."""
+    lib = get_lib()
+    f32p = ctypes.POINTER(ctypes.c_float)
+    data = np.frombuffer(blob, np.uint8)
+    pos = np.empty((max_vertices, 3), np.float32)
+    nrm = np.empty((max_vertices, 3), np.float32)
+    uv = np.empty((max_vertices, 2), np.float32)
+    idx = np.empty((max_triangles, 3), np.int32)
+    nv = ctypes.c_int()
+    nt = ctypes.c_int()
+    rc = lib.meshlet2_decode(
+        _u8(data), len(data), num_meshlets,
+        pos.ctypes.data_as(f32p), nrm.ctypes.data_as(f32p),
+        uv.ctypes.data_as(f32p),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(nv), ctypes.byref(nt))
+    if rc != 0:
+        raise RuntimeError(f"meshlet2_decode failed rc={rc}")
+    return (pos[:nv.value].copy(), nrm[:nv.value].copy(),
+            uv[:nv.value].copy(), idx[:nt.value].copy())
 
 
 def radix_sort_u64(keys: np.ndarray) -> np.ndarray:

@@ -301,6 +301,10 @@ def pack_scene(info: SceneInfo, node_of_instance=None,
     for block, node_idx, md, nd in instances:
         skinned = block in (2, 3)
         rt_node = node_of_instance[node_idx] if node_of_instance else node_idx
+        if md.encoding == "meshlet" and md.positions is None:
+            # MeshEncoding::MeshletDecoded (resource_manager.hpp:85-92):
+            # MLT2 streams materialize to SoA at instantiation.
+            md.decode_meshlets()
         v = len(md.positions)
         t = len(md.indices)
         pos_l.append(md.positions)

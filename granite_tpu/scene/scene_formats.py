@@ -60,8 +60,52 @@ class MeshData:
     material: int = -1
     aabb_min: np.ndarray = None
     aabb_max: np.ndarray = None
+    # MeshEncoding (managers/resource_manager.hpp:85-92): "classic"
+    # carries the SoA arrays above; "meshlet" carries an MLT2 blob
+    # (native codec, vulkan/mesh/meshlet.hpp:59-100) that pack_scene
+    # decodes at instantiation (the MeshletDecoded path).
+    encoding: str = "classic"
+    meshlet_blob: Optional[bytes] = None
+    meshlet_count: int = 0
+    meshlet_vertices: int = 0      # decode capacity (duplicated verts)
+    meshlet_triangles: int = 0
+
+    def to_meshlets(self) -> "MeshData":
+        """Re-encode this mesh as MLT2 meshlet streams, dropping the
+        raw arrays (gltf-repacker / meshlet_export.cpp analogue).
+        Material/AABB metadata is kept; normals/UVs ride the streams."""
+        from ..native import meshlet2_encode
+        self.finalize()
+        blob, n = meshlet2_encode(self.positions, self.normals, self.uvs,
+                                  self.indices)
+        out = MeshData(material=self.material,
+                       aabb_min=self.aabb_min.copy(),
+                       aabb_max=self.aabb_max.copy())
+        out.encoding = "meshlet"
+        out.meshlet_blob = blob
+        out.meshlet_count = n
+        # meshlets duplicate shared vertices; bound by 3*T
+        out.meshlet_vertices = 3 * len(self.indices)
+        out.meshlet_triangles = len(self.indices)
+        return out
+
+    def decode_meshlets(self) -> "MeshData":
+        """Materialize the SoA arrays from the MLT2 blob in place."""
+        from ..native import meshlet2_decode
+        if self.encoding != "meshlet" or self.positions is not None:
+            return self
+        pos, nrm, uv, idx = meshlet2_decode(
+            self.meshlet_blob, self.meshlet_count,
+            self.meshlet_vertices, self.meshlet_triangles)
+        self.positions = pos
+        self.normals = nrm
+        self.uvs = uv
+        self.indices = idx
+        return self.finalize()
 
     def finalize(self) -> "MeshData":
+        if self.encoding == "meshlet" and self.positions is None:
+            return self.decode_meshlets()
         self.positions = np.ascontiguousarray(self.positions, np.float32)
         if self.indices is None:
             n = len(self.positions)

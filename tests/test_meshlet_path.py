@@ -1,0 +1,117 @@
+"""Meshlet-encoded render path (MeshEncoding analogue,
+managers/resource_manager.hpp:85-92; MLT2 codec extending
+vulkan/mesh/meshlet.hpp:59-100 with normal/UV streams)."""
+
+import numpy as np
+import pytest
+
+from granite_tpu.scene.mesh_util import cube_mesh, sphere_mesh
+from granite_tpu.scene.scene_formats import (
+    MaterialData, NodeData, SceneInfo,
+)
+
+
+def test_mlt2_roundtrip_accuracy():
+    md = sphere_mesh(16, 1).finalize()
+    enc = md.to_meshlets()
+    assert enc.encoding == "meshlet"
+    assert enc.positions is None and enc.meshlet_count > 0
+    dec = enc.decode_meshlets()
+    # meshlets duplicate shared verts; triangle count is preserved
+    assert len(dec.indices) == len(md.indices)
+    # positions quantized to 16-bit unorm within each meshlet AABB
+    ext = float((md.aabb_max - md.aabb_min).max())
+    p_ref = md.positions[md.indices]          # (T, 3, 3) corner-wise
+    p_got = dec.positions[dec.indices]
+    assert np.abs(p_got - p_ref).max() <= ext / 65535.0 * 2.0
+    # oct-16 normals: < 0.1 deg error
+    n_ref = md.normals[md.indices].reshape(-1, 3)
+    n_got = dec.normals[dec.indices].reshape(-1, 3)
+    cos = np.clip((n_ref * n_got).sum(-1)
+                  / np.maximum(np.linalg.norm(n_ref, axis=-1)
+                               * np.linalg.norm(n_got, axis=-1), 1e-9),
+                  -1, 1)
+    assert np.degrees(np.arccos(cos)).max() < 0.1
+    # uv within 16-bit unorm of the per-meshlet UV span
+    uv_ref = md.uvs[md.indices].reshape(-1, 2)
+    uv_got = dec.uvs[dec.indices].reshape(-1, 2)
+    uv_ext = max(float((md.uvs.max(0) - md.uvs.min(0)).max()), 1e-9)
+    assert np.abs(uv_got - uv_ref).max() <= uv_ext / 65535.0 * 2.0
+
+
+def _scene(meshlets: bool) -> SceneInfo:
+    info = SceneInfo()
+    info.materials = [
+        MaterialData(name="m0", base_color_factor=np.array(
+            [0.8, 0.4, 0.3, 1], np.float32), roughness_factor=0.5),
+    ]
+    meshes = [sphere_mesh(16, 1), cube_mesh(2)]
+    if meshlets:
+        meshes = [m.to_meshlets() for m in meshes]
+    for m in meshes:
+        m.material = 0
+    info.meshes = meshes
+    root = NodeData(name="root")
+    a = NodeData(name="a", meshes=[0],
+                 translation=np.array([-1.2, 0.0, 0.0], np.float32))
+    b = NodeData(name="b", meshes=[1],
+                 translation=np.array([1.2, 0.0, 0.0], np.float32))
+    root.children = [1, 2]
+    info.nodes = [root, a, b]
+    info.roots = [0]
+    return info
+
+
+def _render(info: SceneInfo) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from granite_tpu.math.muglm import look_at_matrix, perspective
+    from granite_tpu.renderer.scene_renderer import (
+        forward_shade, pack_scene, transform_vertices,
+    )
+    import granite_tpu.ops.raster as R
+    from granite_tpu.scene.scene import Scene
+
+    packed = pack_scene(info)
+    s = Scene()
+    for i, nd in enumerate(info.nodes):
+        s.create_node(parent=0 if i else -1, translation=nd.translation,
+                      rotation=nd.rotation, scale=nd.scale)
+    s.update_transform_tree()
+    n = s.num_nodes
+    world = jnp.asarray(s.world[:n])
+    nmats = jnp.asarray(np.linalg.inv(
+        s.world[:n, :3, :3]).transpose(0, 2, 1).astype(np.float32))
+    W, H = 128, 96
+    view = look_at_matrix(np.array([0, 1.5, 4.0]), np.zeros(3), (0, 1, 0))
+    proj = perspective(1.0, W / H, 0.1)
+    vp = jnp.asarray((proj @ view).astype(np.float32))
+    clip, wpos, wnrm, wtan = transform_vertices(packed, world, nmats, vp)
+    setup = R.setup_triangles(clip, packed.indices, W, H)
+    depth, tri = R.rasterize(setup, W, H)
+    params = {"camera_pos": jnp.asarray([0, 1.5, 4.0], jnp.float32),
+              "sun_dir": jnp.asarray([0.3, 0.8, 0.5], jnp.float32),
+              "sun_color": jnp.asarray([2.5, 2.4, 2.2], jnp.float32)}
+    img = forward_shade(packed, setup, depth, tri, wpos, wnrm, wtan,
+                        params, width=W, height=H)
+    return np.asarray(img)
+
+
+def test_meshlet_scene_matches_classic_render():
+    """The same scene rendered from meshlet-encoded buffers must stay
+    within quantization distance of the classic path (VERDICT round-2
+    gate: within 1 dB)."""
+    img_c = _render(_scene(meshlets=False))
+    img_m = _render(_scene(meshlets=True))
+    mse = float(((img_c - img_m) ** 2).mean())
+    peak = max(float(img_c.max()), 1e-6)
+    psnr = 10 * np.log10(peak * peak / max(mse, 1e-12))
+    assert psnr > 40.0, psnr
+
+
+def test_meshlet_encoding_smaller_than_raw():
+    md = sphere_mesh(24, 2).finalize()
+    raw = md.positions.nbytes + md.normals.nbytes + md.uvs.nbytes + \
+        md.indices.nbytes
+    enc = md.to_meshlets()
+    assert len(enc.meshlet_blob) < raw
