@@ -48,7 +48,8 @@ def get_lib() -> ctypes.CDLL:
     u32p = ctypes.POINTER(ctypes.c_uint32)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     for name in ("decode_bc1", "decode_bc3", "decode_bc4", "decode_bc5",
-                 "decode_bc7", "encode_bc1"):
+                 "decode_bc7", "encode_bc1", "encode_bc3", "encode_bc4",
+                 "encode_bc5"):
         fn = getattr(lib, name)
         fn.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int]
         fn.restype = None
@@ -141,6 +142,30 @@ def encode_bc1(rgba: np.ndarray) -> np.ndarray:
     out = np.empty(((h + 3) // 4) * ((w + 3) // 4) * 8, np.uint8)
     lib.encode_bc1(_u8(rgba), _u8(out), w, h)
     return out
+
+
+def _encode_bcn(rgba: np.ndarray, fn_name: str, block: int) -> np.ndarray:
+    lib = get_lib()
+    h, w = rgba.shape[:2]
+    rgba = np.ascontiguousarray(rgba, np.uint8)
+    out = np.empty(((h + 3) // 4) * ((w + 3) // 4) * block, np.uint8)
+    getattr(lib, fn_name)(_u8(rgba), _u8(out), w, h)
+    return out
+
+
+def encode_bc3(rgba: np.ndarray) -> np.ndarray:
+    """RGBA -> BC3 (BC1 color + BC4 alpha; texture_compression.cpp)."""
+    return _encode_bcn(rgba, "encode_bc3", 16)
+
+
+def encode_bc4(rgba: np.ndarray) -> np.ndarray:
+    """R channel -> BC4/RGTC1 (rgtc_compressor.cpp)."""
+    return _encode_bcn(rgba, "encode_bc4", 8)
+
+
+def encode_bc5(rgba: np.ndarray) -> np.ndarray:
+    """RG channels -> BC5/RGTC2 (normal-map XY)."""
+    return _encode_bcn(rgba, "encode_bc5", 16)
 
 
 def meshlet_encode(positions: np.ndarray, indices: np.ndarray):

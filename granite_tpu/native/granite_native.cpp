@@ -215,6 +215,130 @@ void encode_bc1(const uint8_t *src, uint8_t *dst, int width, int height) {
 }
 
 // ---------------------------------------------------------------------------
+// RGTC / BC3-5 encoders (scene-export/rgtc_compressor.cpp +
+// texture_compression.cpp analogues): single-channel BC4 blocks via the
+// 8-point interpolated alpha ramp; BC5 = two BC4 planes (XY normal
+// maps); BC3 = BC1 color + BC4 alpha.
+// ---------------------------------------------------------------------------
+
+static void encode_bc4_block(const uint8_t vals[16], uint8_t out[8]) {
+    uint8_t mn = 255, mx = 0;
+    for (int i = 0; i < 16; i++) {
+        mn = std::min(mn, vals[i]);
+        mx = std::max(mx, vals[i]);
+    }
+    // 8-point mode (a0 > a1): endpoints + 6 interpolants.
+    uint8_t a0 = mx, a1 = mn;
+    uint8_t pal[8];
+    pal[0] = a0; pal[1] = a1;
+    if (a0 > a1)
+        for (int i = 1; i < 7; i++)
+            pal[1 + i] = (uint8_t)(((7 - i) * a0 + i * a1) / 7);
+    else {                    // flat block: 6-point mode degenerates fine
+        for (int i = 1; i < 5; i++)
+            pal[1 + i] = (uint8_t)(((5 - i) * a0 + i * a1) / 5);
+        pal[6] = 0; pal[7] = 255;
+    }
+    uint64_t bits = 0;
+    for (int i = 0; i < 16; i++) {
+        int best = 0; int bestd = 1 << 30;
+        for (int p = 0; p < 8; p++) {
+            int d = (int)vals[i] - pal[p];
+            d *= d;
+            if (d < bestd) { bestd = d; best = p; }
+        }
+        bits |= (uint64_t)best << (3 * i);
+    }
+    out[0] = a0; out[1] = a1;
+    for (int b = 0; b < 6; b++)
+        out[2 + b] = (uint8_t)(bits >> (8 * b));
+}
+
+static void gather_channel(const uint8_t *src, int width, int height,
+                           int bx, int by, int stride, int chan,
+                           uint8_t vals[16]) {
+    for (int y = 0; y < 4; y++)
+        for (int x = 0; x < 4; x++) {
+            int px = std::min(bx * 4 + x, width - 1);
+            int py = std::min(by * 4 + y, height - 1);
+            vals[y * 4 + x] = src[(py * width + px) * stride + chan];
+        }
+}
+
+void encode_bc4(const uint8_t *src, uint8_t *dst, int width, int height) {
+    // src: RGBA8; channel 0 (R) is compressed (rgtc_compressor.cpp R8).
+    int bw = (width + 3) / 4, bh = (height + 3) / 4;
+    for (int by = 0; by < bh; by++)
+        for (int bx = 0; bx < bw; bx++) {
+            uint8_t vals[16];
+            gather_channel(src, width, height, bx, by, 4, 0, vals);
+            encode_bc4_block(vals, dst + (by * bw + bx) * 8);
+        }
+}
+
+void encode_bc5(const uint8_t *src, uint8_t *dst, int width, int height) {
+    // RG from RGBA8 -> two BC4 planes (normal-map XY).
+    int bw = (width + 3) / 4, bh = (height + 3) / 4;
+    for (int by = 0; by < bh; by++)
+        for (int bx = 0; bx < bw; bx++) {
+            uint8_t vals[16];
+            uint8_t *out = dst + (by * bw + bx) * 16;
+            gather_channel(src, width, height, bx, by, 4, 0, vals);
+            encode_bc4_block(vals, out);
+            gather_channel(src, width, height, bx, by, 4, 1, vals);
+            encode_bc4_block(vals, out + 8);
+        }
+}
+
+void encode_bc3(const uint8_t *src, uint8_t *dst, int width, int height) {
+    // BC3 block = BC4 alpha block + BC1 color block (no punch-through).
+    int bw = (width + 3) / 4, bh = (height + 3) / 4;
+    // color half reuses encode_bc1 into a scratch, alpha via BC4.
+    for (int by = 0; by < bh; by++)
+        for (int bx = 0; bx < bw; bx++) {
+            uint8_t *out = dst + (by * bw + bx) * 16;
+            uint8_t vals[16];
+            gather_channel(src, width, height, bx, by, 4, 3, vals);
+            encode_bc4_block(vals, out);
+            // BC1 color for this block
+            uint8_t mn[3] = {255, 255, 255}, mx[3] = {0, 0, 0};
+            uint8_t texels[16][4];
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    int px = std::min(bx * 4 + x, width - 1);
+                    int py = std::min(by * 4 + y, height - 1);
+                    const uint8_t *s = src + (py * width + px) * 4;
+                    memcpy(texels[y * 4 + x], s, 4);
+                    for (int c = 0; c < 3; c++) {
+                        mn[c] = std::min(mn[c], s[c]);
+                        mx[c] = std::max(mx[c], s[c]);
+                    }
+                }
+            uint16_t c0 = pack565(mx), c1 = pack565(mn);
+            if (c0 < c1) std::swap(c0, c1);
+            uint8_t pal[4][4];
+            decode_bc1_colors(c0, c1, pal, false);
+            uint32_t bits = 0;
+            for (int i = 0; i < 16; i++) {
+                int best = 0;
+                long bestd = 1L << 60;
+                for (int p = 0; p < 4; p++) {
+                    long d = 0;
+                    for (int c = 0; c < 3; c++) {
+                        long diff = (long)texels[i][c] - pal[p][c];
+                        d += diff * diff;
+                    }
+                    if (d < bestd) { bestd = d; best = p; }
+                }
+                bits |= (uint32_t)best << (2 * i);
+            }
+            out[8] = (uint8_t)c0; out[9] = (uint8_t)(c0 >> 8);
+            out[10] = (uint8_t)c1; out[11] = (uint8_t)(c1 >> 8);
+            memcpy(out + 12, &bits, 4);
+        }
+}
+
+// ---------------------------------------------------------------------------
 // Meshlet codec (vulkan/mesh/meshlet.{hpp,cpp} redesign).
 //
 // Layout "MLT1": meshlets of <=64 vertices / <=126 triangles; positions

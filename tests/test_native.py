@@ -187,3 +187,50 @@ def test_decode_bc7_mode6_solid():
     out = decode_blocks("bc7", blk, 4, 4)
     assert (out[..., 0] == 0x81).all(), out[0, 0]
     assert (out[..., 3] == 255).all()
+
+
+def test_encode_bc4_roundtrip():
+    """RGTC1 encoder vs our own spec decoder (rgtc_compressor.cpp
+    analogue): single channel within interpolation error."""
+    from granite_tpu.native import decode_blocks, encode_bc4
+    rng = np.random.RandomState(3)
+    img = np.zeros((16, 16, 4), np.uint8)
+    # smooth gradient + noise: exercises the 8-point ramp
+    g = np.linspace(0, 255, 16)[None, :] + rng.randint(-20, 20, (16, 16))
+    img[..., 0] = np.clip(g, 0, 255)
+    out = decode_blocks("bc4", encode_bc4(img), 16, 16)
+    err = np.abs(out[..., 0].astype(int) - img[..., 0].astype(int))
+    assert err.max() <= 22 and err.mean() < 8
+
+
+def test_encode_bc5_roundtrip():
+    from granite_tpu.native import decode_blocks, encode_bc5
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (16, 16, 4), np.uint8)
+    # smooth-ish per-block content (normal maps are low-frequency)
+    img[..., 0] = np.clip(np.linspace(40, 200, 16)[None, :]
+                          + rng.randint(-10, 10, (16, 16)), 0, 255)
+    img[..., 1] = np.clip(np.linspace(180, 60, 16)[:, None]
+                          + rng.randint(-10, 10, (16, 16)), 0, 255)
+    out = decode_blocks("bc5", encode_bc5(img), 16, 16)
+    for c in range(2):
+        err = np.abs(out[..., c].astype(int) - img[..., c].astype(int))
+        assert err.max() <= 22 and err.mean() < 8, c
+
+
+def test_encode_bc3_roundtrip():
+    from granite_tpu.native import decode_blocks, encode_bc3
+    rng = np.random.RandomState(5)
+    # structured content (real textures): gradients + mild noise
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[..., 0] = np.clip(xx * 14 + rng.randint(-12, 12, (16, 16)), 0, 255)
+    img[..., 1] = np.clip(yy * 14 + rng.randint(-12, 12, (16, 16)), 0, 255)
+    img[..., 2] = np.clip(255 - xx * 10, 0, 255)
+    img[..., 3] = np.clip(xx * 8 + yy * 8, 0, 255)
+    out = decode_blocks("bc3", encode_bc3(img), 16, 16)
+    # alpha plane: BC4 quality; color: BC1-grade (coarser)
+    aerr = np.abs(out[..., 3].astype(int) - img[..., 3].astype(int))
+    assert aerr.mean() < 10
+    cerr = np.abs(out[..., :3].astype(int) - img[..., :3].astype(int))
+    assert cerr.mean() < 16

@@ -60,15 +60,29 @@ def main(argv=None) -> int:
           f"({100 * (1 - total_after / max(total_before, 1)):.1f}% saved)")
 
     if args.compress_textures:
-        from granite_tpu.native import encode_bc1, gtpx_save
+        # Format selection like texture_compression.cpp: alpha-carrying
+        # images -> BC3, normal maps -> BC5 (RGTC XY), opaque color ->
+        # BC1.
+        from granite_tpu.native import (
+            encode_bc1, encode_bc3, encode_bc5, gtpx_save,
+        )
+        normal_imgs = {m.normal_image for m in info.materials
+                       if m.normal_image is not None}
         outdir = os.path.dirname(os.path.abspath(args.output))
         for i, img in enumerate(info.images):
-            blocks = encode_bc1(np.ascontiguousarray(img))
+            img = np.ascontiguousarray(img)
+            if i in normal_imgs:
+                fmt, blocks = "bc5", encode_bc5(img)
+            elif img.shape[-1] == 4 and (img[..., 3] != 255).any():
+                fmt, blocks = "bc3", encode_bc3(img)
+            else:
+                fmt, blocks = "bc1", encode_bc1(img)
             path = os.path.join(outdir, f"tex{i}.gtpx")
-            gtpx_save(path, bytes(blocks), "bc1", img.shape[1],
+            gtpx_save(path, bytes(blocks), fmt, img.shape[1],
                       img.shape[0])
             raw = img.nbytes
-            print(f"  tex{i}: {raw} -> {len(blocks)} bytes (BC1) {path}")
+            print(f"  tex{i}: {raw} -> {len(blocks)} bytes "
+                  f"({fmt.upper()}) {path}")
 
     if args.meshlets:
         from granite_tpu.native import meshlet_encode
