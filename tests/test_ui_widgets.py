@@ -158,3 +158,38 @@ def test_render_writes_overlay_pixels():
     assert (region[..., 3] > 0).mean() > 0.9
     # outside the window stays clear
     assert overlay[190:, 300:, 3].max() == 0.0
+
+
+def test_sprite_atlas_and_batched_flush():
+    """Sprite batching (ui/sprite.py; renderer/sprite.cpp +
+    flat_renderer queue semantics): atlas packing, layer-sorted flush,
+    scale + tint, clipping."""
+    from granite_tpu.ui.flat_renderer import FlatRenderer
+    from granite_tpu.ui.sprite import SpriteAtlas, SpriteRenderer
+
+    atlas = SpriteAtlas(64)
+    red = np.zeros((8, 8, 4), np.float32)
+    red[..., 0] = red[..., 3] = 1.0
+    blue = np.zeros((8, 8, 4), np.float32)
+    blue[..., 2] = blue[..., 3] = 1.0
+    s_red = atlas.add(red)
+    s_blue = atlas.add(blue)
+    assert atlas.rects[s_blue][0] == 8        # shelf-packed side by side
+
+    fr = FlatRenderer(64, 32)
+    fr.begin()
+    sr = SpriteRenderer(atlas)
+    # blue queued FIRST but on a HIGHER layer -> drawn last (on top)
+    sr.queue_sprite(s_blue, 4, 4, layer=1.0)
+    sr.queue_sprite(s_red, 4, 4, layer=0.0)
+    assert sr.flush(fr) == 2
+    assert np.allclose(fr.canvas[6, 6, :3], [0, 0, 1])   # blue on top
+
+    # scale + tint + edge clip
+    fr.begin()
+    sr.queue_sprite(s_red, 60, 0, scale=2.0, color=(1, 1, 0.5, 1.0))
+    sr.flush(fr)
+    assert fr.canvas[2, 62, 0] > 0.9          # clipped but visible
+    assert fr.canvas.shape == (32, 64, 4)     # no overflow write
+    # queue drained
+    assert sr.flush(fr) == 0
