@@ -182,6 +182,28 @@ class GLTFParser:
                 "KHR_materials_emissive_strength", {})
             mat.emissive_factor = mat.emissive_factor * strength.get(
                 "emissiveStrength", 1.0)
+            # Legacy specular-glossiness materials map onto metallic-
+            # roughness exactly like the reference (gltf.cpp:945-983):
+            # diffuse -> base color, 1-gloss -> roughness, max(spec) ->
+            # metallic; the specularGlossinessTexture is unsupported
+            # there too.
+            sg = m.get("extensions", {}).get(
+                "KHR_materials_pbrSpecularGlossiness")
+            if sg is not None:
+                if "diffuseFactor" in sg:
+                    mat.base_color_factor = np.asarray(
+                        sg["diffuseFactor"], np.float32)
+                if "glossinessFactor" in sg:
+                    mat.roughness_factor = float(np.clip(
+                        1.0 - sg["glossinessFactor"], 0.0, 1.0))
+                if "specularFactor" in sg:
+                    mat.metallic_factor = float(
+                        np.max(sg["specularFactor"][:3]))
+                if "diffuseTexture" in sg:
+                    mat.base_color_image = img_of(sg["diffuseTexture"])
+                if "specularGlossinessTexture" in sg:
+                    LOGW("specularGlossinessTexture unsupported; "
+                         "use pbrMetallicRoughness (gltf.cpp:980)")
             mode = m.get("alphaMode", "OPAQUE")
             mat.alpha_mode = {"OPAQUE": ALPHA_MODE_OPAQUE,
                               "MASK": ALPHA_MODE_MASK,

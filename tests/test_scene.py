@@ -205,3 +205,34 @@ def test_obj_to_gltf_roundtrip(tmp_path):
     assert len(s.materials) == 2
     assert abs(s.materials[0].base_color_factor[0] - 0.8) < 1e-5
     assert len(s.meshes[0].positions) == 3
+
+
+def test_gltf_spec_gloss_extension(tmp_path):
+    """KHR_materials_pbrSpecularGlossiness maps onto metallic-roughness
+    like the reference (gltf.cpp:945-983)."""
+    import json
+
+    from granite_tpu.scene.gltf import GLTFParser
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "scene": 0,
+        "nodes": [{"name": "n"}],
+        "materials": [{
+            "name": "sg",
+            "extensions": {"KHR_materials_pbrSpecularGlossiness": {
+                "diffuseFactor": [0.5, 0.25, 0.125, 1.0],
+                "glossinessFactor": 0.8,
+                "specularFactor": [0.1, 0.6, 0.2],
+            }},
+        }],
+    }
+    path = str(tmp_path / "sg.gltf")
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    parsed = GLTFParser(path).get_scene()
+    m = parsed.materials[0]
+    assert np.allclose(m.base_color_factor, [0.5, 0.25, 0.125, 1.0])
+    assert abs(m.roughness_factor - 0.2) < 1e-6      # 1 - gloss
+    assert abs(m.metallic_factor - 0.6) < 1e-6       # max(spec)
