@@ -61,8 +61,11 @@ def rcas_sharpen(img, sharpness: float = 0.87):
     # Contrast-adaptive lobe: how much negative weight the neighborhood
     # can absorb before clipping (per-channel min, RCAS style).
     hit_min = mn / jnp.maximum(4.0 * mx, 1e-6)
-    hit_max = (1.0 - mx) / jnp.maximum(4.0 * jnp.minimum(mn, 1.0) - 4.0,
-                                       -1e6)
+    # Denominator clamped AWAY from zero: a 5-tap neighborhood exactly
+    # flat at 1.0 made this 0/0 -> NaN, which rode jnp.maximum/clip
+    # into the output pixel (round-2 advisor).
+    hit_max = (1.0 - mx) / jnp.minimum(
+        4.0 * jnp.minimum(mn, 1.0) - 4.0, -1e-6)
     lobe_limit = jnp.maximum(-hit_min, hit_max).max(-1, keepdims=True)
     lobe = jnp.clip(lobe_limit, -0.1875, 0.0) * sharpness
     out = (img + lobe * (n + s + w_ + e)) / (1.0 + 4.0 * lobe)

@@ -125,3 +125,14 @@ def test_viewer_taafsr2_knob():
     out = np.asarray(out)
     assert out.shape == (72, 128, 4)            # display res output
     assert (out[..., :3] > 0).any()
+
+
+def test_rcas_flat_white_no_nan():
+    """A neighborhood exactly flat at 1.0 made hit_max 0/0 -> NaN
+    (round-2 advisor); the clamped denominator keeps it finite and the
+    flat region unchanged."""
+    from granite_tpu.ops.fsr2 import rcas_sharpen
+    img = jnp.ones((16, 16, 3), jnp.float32)
+    out = np.asarray(rcas_sharpen(img, 0.5))
+    assert np.isfinite(out).all()
+    assert np.allclose(out, 1.0)
