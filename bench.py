@@ -37,17 +37,21 @@ def bench_deferred_hdr(width=1920, height=1080, frames=12):
     import numpy as np
     app = SceneViewerApplication(args)
     app.swapchain_updated(width, height)
-    # Warmup/compile.  block_until_ready() does NOT wait on the axon
-    # tunnel (CLAUDE.md) — a tiny readback is the only true fence.
-    np.asarray(app.render_frame(1 / 60, 0.0)[0, 0:1])
-    # Frames chain in ONE device program (graph.execute_chain): frames
-    # present device-side like a real swapchain; only the final
-    # backbuffer crosses the tunnel.  Warm the chain executable too.
+    # Warmup/compile: the chain (graph.execute_chain) is the ONLY
+    # executable this process compiles — param building is host-only
+    # (scene_viewer._build_frame_params), which halves cold-start vs
+    # also compiling the per-frame step (the Fossilize lesson).
+    # block_until_ready() does NOT wait on the axon tunnel (CLAUDE.md)
+    # — a tiny readback is the only true fence.
+    t_c0 = time.monotonic_ns()
     np.asarray(app.render_frames_chained(1 / 60, 1 / 60, frames)[0, 0:1])
+    compile_s = (time.monotonic_ns() - t_c0) / 1e9
     t0 = time.monotonic_ns()
     out = app.render_frames_chained(1 / 60, 2 / 60, frames)
     np.asarray(out[0, 0:1])
     dt_ms = (time.monotonic_ns() - t0) / 1e6 / frames
+    print(json.dumps({"compileTimeS": round(compile_s, 1)},
+                     ), file=sys.stderr)
     return {
         "metric": "frame_time_ms_deferred_hdr_sponza_class_1080p",
         "value": round(dt_ms, 3),

@@ -73,7 +73,9 @@ def run_headless(app: Application, args: argparse.Namespace) -> int:
         LOGE("--chain cannot encode per-frame video; chaining disabled")
         use_chain = False
     t_compile0 = get_current_time_nsecs()
-    for _ in range(max(args.warmup_frames, 0)):
+    # --chain runs compile ONLY the chain executable (param building is
+    # host-only); unchained runs warm the per-frame step.
+    for _ in range(0 if use_chain else max(args.warmup_frames, 0)):
         out = app.render_frame(step, 0.0)
         # block_until_ready() does NOT wait through the axon tunnel
         # (CLAUDE.md); a tiny readback is the only true fence.

@@ -60,6 +60,13 @@ class TemporalJitter:
         self.phase += 1
         return jittered
 
+    def unstep(self) -> None:
+        """Rewind one step() (phase only; the saved un-jittered ring is
+        idempotent for a static camera).  Used when a chained run
+        re-generates the frame's jitter as part of its stacked bank
+        (scene_viewer.render_frames_chained)."""
+        self.phase -= 1
+
     def last_jitter_uv(self) -> np.ndarray:
         """The jitter used by the LAST step(), in UV units (NDC offset
         2*o/size maps to o/size in [0,1] UV space)."""

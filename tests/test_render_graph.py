@@ -209,14 +209,14 @@ def test_execute_chain_matches_sequential():
         assert np.allclose(np.asarray(a._history[k]),
                            np.asarray(b._history[k]), atol=1e-6), k
     # DCE guard: the chain checksum must equal the sum of every SCANNED
-    # frame's backbuffer (frames 2..n-1 here; frame 1 ran unchained to
-    # build params, frame n ships unstacked).  If XLA dead-code-
-    # eliminated history-free passes inside the scan (the round-2 bench
-    # invalidity), the checksum would differ.
+    # frame's backbuffer (frames 1..n-1; param building is host-only so
+    # the chain covers ALL n frames, frame n ships unstacked).  If XLA
+    # dead-code-eliminated history-free passes inside the scan (the
+    # round-2 bench invalidity), the checksum would differ.
     c = make()
     seq_frames = [np.asarray(c.render_frame(1 / 60, i / 60), np.float64)
                   for i in range(4)]
-    expect = sum(f.sum() for f in seq_frames[1:3])
+    expect = sum(f.sum() for f in seq_frames[0:3])
     got = float(np.asarray(b._last_chain_checksum))
     assert np.isfinite(got)
     assert abs(got - expect) <= 1e-3 * max(abs(expect), 1.0)
