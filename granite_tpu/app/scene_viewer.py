@@ -689,6 +689,21 @@ class SceneViewerApplication(Application):
         else:
             self._jitter = None
 
+        # RendererSuite (renderer.hpp:182-211): the role->executor
+        # registry; each graph pass below asks the suite for its
+        # renderer instead of branching on config inline.
+        from ..renderer.suite import (
+            Config as SuiteConfig, RendererSuite, Type as SuiteType,
+        )
+        self.renderer_suite = RendererSuite()
+        self.renderer_suite.set_default_renderers(self, SuiteConfig(
+            pcf_kernel_wide=self.config.pcf_kernel_wide,
+            directional_light_vsm=self.config
+            .directional_light_shadows_vsm,
+            forward_z_prepass=self.config.forward_depth_prepass,
+            cascaded_directional_shadows=self.config
+            .directional_light_cascaded_shadows))
+
         if use_shadow:
             layers = 4 if self.config.directional_light_cascaded_shadows \
                 else 1
@@ -701,7 +716,7 @@ class SceneViewerApplication(Application):
                     AttachmentInfo(SizeClass.ABSOLUTE, shadow_res,
                                    shadow_res, channels=channels,
                                    layers=layers)) \
-                .set_execute(self._shadow_pass)
+                .set_execute(self.renderer_suite.shadow_renderer())
 
         if self.ocean is not None:
             n = self.ocean.config.fft_resolution
@@ -754,7 +769,8 @@ class SceneViewerApplication(Application):
                 gb.add_storage_output(
                     "vis-history",
                     BufferInfo((self.packed.num_objects,), jnp.bool_))
-            gb.set_execute(self._gbuffer_pass)
+            gb.set_execute(self.renderer_suite.main_geometry_renderer(
+                deferred=True, motion_vectors=self._use_taa))
             if self.config.ssao:
                 # CACAO-lite AO at half res (post/ssao.cpp analogue).
                 g.add_pass("ssao", Queue.COMPUTE) \
@@ -780,7 +796,8 @@ class SceneViewerApplication(Application):
                 light.add_texture_input("shadow-depth")
             if self.ocean is not None:
                 light.add_texture_input("ocean-maps")
-            light.set_execute(self._lighting_pass)
+            light.set_execute(self.renderer_suite.get(
+                SuiteType.DeferredLighting))
             if self.config.ssr:
                 # Stochastic-SSR analogue (post/ssr.cpp; deferred only,
                 # scene_viewer_application.cpp:1206): consumes the lit
@@ -813,7 +830,8 @@ class SceneViewerApplication(Application):
                 forward.add_storage_output(
                     "vis-history",
                     BufferInfo((self.packed.num_objects,), jnp.bool_))
-            forward.set_execute(self._forward_pass)
+            forward.set_execute(self.renderer_suite.main_geometry_renderer(
+                deferred=False, motion_vectors=self._use_taa))
 
         hdr_name = "hdr"
         if self.config.renderer == "deferred" and self.config.ssr:
