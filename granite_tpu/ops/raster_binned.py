@@ -110,7 +110,8 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     """Sort-based binning (one key per small triangle — see module doc).
 
     Returns (packets_sorted (T+CHUNK, 128), starts (ntiles+1,),
-    huge_packets (huge_cap, 128), huge_count (), stats dict).
+    huge_rows ((huge_cap*ty)+CHUNK, 128) row-expanded front-to-back,
+    huge_row_starts (ty+1,), stats dict).
 
     stats: {"huge_overflow": dropped huge triangles,
             "visible_overflow": dropped by max_visible compaction} —
@@ -181,27 +182,52 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
                               jnp.arange(ntiles + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)
 
-    # --- huge: fixed-capacity compaction ------------------------------------
-    # Allocation rounds up to the DMA chunk so the kernel's chunk-aligned
-    # reads stay in bounds for any huge_cap.
+    # --- huge: fixed-capacity compaction + PER-ROW lists --------------------
+    # A tile must only ever scan huge triangles that intersect its ROW:
+    # the old single global list cost O(n_huge x n_tiles) kernel work
+    # (582 huge x 510 tiles at the 1080p bench = ~300k wasted packet
+    # visits PER PASS, mostly in sky tiles that can never early-out).
+    # Each compacted huge triangle emits one copy per tile row its bbox
+    # spans; a stable row sort preserves the front-to-back order within
+    # every row so early-z applies to the huge stream too.
     hidx = jnp.cumsum(huge.astype(jnp.int32)) - 1
     hsel = huge & (hidx < huge_cap)
     alloc = -(-max(huge_cap, 1) // CHUNK) * CHUNK
+    slots = jnp.where(hsel, hidx, alloc)
     huge_packets = jnp.zeros((alloc, PACKET_F32), jnp.float32)
-    huge_packets = huge_packets.at[
-        jnp.where(hsel, hidx, alloc)].set(packets, mode="drop")
+    huge_packets = huge_packets.at[slots].set(packets, mode="drop")
+    hbb = jnp.full((alloc, 4), -1, jnp.int32).at[slots].set(bbox,
+                                                            mode="drop")
     n_huge = huge.sum()
     huge_count = jnp.minimum(n_huge, huge_cap).astype(jnp.int32)
     stats["huge_overflow"] = jnp.maximum(
         n_huge - huge_cap, 0).astype(jnp.int32)
-    return packets_sorted, starts, huge_packets, huge_count, stats
+
+    hty0 = jnp.clip(hbb[:, 1] // TILE_H, 0, ty - 1)
+    hty1 = jnp.clip((hbb[:, 3] - 1) // TILE_H, 0, ty - 1)
+    live = (jnp.arange(alloc) < huge_count) & (hbb[:, 3] > hbb[:, 1])
+    rows = jnp.arange(ty, dtype=jnp.int32)[None, :]        # (alloc, ty)
+    pair_mask = live[:, None] & (rows >= hty0[:, None]) \
+        & (rows <= hty1[:, None])
+    pair_keys = jnp.where(pair_mask, rows, ty).reshape(-1)
+    # stable: ties keep flat order slot*ty+row -> ascending slot per
+    # row == the z pre-sort order
+    order_h = jnp.argsort(pair_keys)
+    pair_slot = (jnp.arange(alloc * ty, dtype=jnp.int32) // ty)[order_h]
+    huge_rows = huge_packets[pair_slot]
+    huge_rows = jnp.concatenate(
+        [huge_rows, jnp.zeros((CHUNK, PACKET_F32), jnp.float32)])
+    huge_row_starts = jnp.searchsorted(
+        pair_keys[order_h], jnp.arange(ty + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    return packets_sorted, starts, huge_rows, huge_row_starts, stats
 
 
 CHUNK = 16               # packets per DMA (16 x 512B = 8KB transfers)
 MAX_ENTRIES_PER_TILE = 65536
 
 
-def _raster_tile_kernel(starts_ref, huge_count_ref,      # scalar prefetch
+def _raster_tile_kernel(starts_ref, huge_starts_ref,     # scalar prefetch
                         packets_hbm, huge_hbm,           # ANY/HBM inputs
                         depth_out, tri_out,              # VMEM outputs
                         pkt_scratch, dma_sems,           # scratch
@@ -326,7 +352,9 @@ def _raster_tile_kernel(starts_ref, huge_count_ref,      # scalar prefetch
                 run_range(packets_hbm, starts_ref[b],
                           starts_ref[b + 1] - starts_ref[b])
 
-    run_range(huge_hbm, 0, huge_count_ref[0])
+    # huge stream: ONLY this tile's row's list (per-row binning).
+    run_range(huge_hbm, huge_starts_ref[ty],
+              huge_starts_ref[ty + 1] - huge_starts_ref[ty])
 
     depth_out[:] = depth_s[:]
     tri_out[:] = tri_s[:]
@@ -358,7 +386,7 @@ def rasterize_binned(setup: TriangleSetup, width: int, height: int,
     pw = tx * TILE_W
     ph = ty * TILE_H
 
-    packets, starts, huge_packets, huge_count, stats = bin_triangles(
+    packets, starts, huge_rows, huge_row_starts, stats = bin_triangles(
         setup, width, height, huge_cap, max_visible=max_visible,
         span_w=span_w, span_h=span_h)
     stats["max_bin_entries"] = jnp.max(starts[1:] - starts[:-1]) \
@@ -398,7 +426,7 @@ def rasterize_binned(setup: TriangleSetup, width: int, height: int,
             jax.ShapeDtypeStruct((ph, pw), jnp.int32),
         ],
         interpret=interpret,
-    )(starts, jnp.full((1,), huge_count, jnp.int32), packets, huge_packets)
+    )(starts, huge_row_starts, packets, huge_rows)
     if with_stats:
         return depth[:height, :width], tri[:height, :width], stats
     return depth[:height, :width], tri[:height, :width]

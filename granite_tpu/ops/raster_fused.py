@@ -107,7 +107,7 @@ def build_resolve_extra(scene, world_pos, world_normal, world_tangent,
     return jnp.concatenate(cols, axis=1)
 
 
-def _fused_kernel(starts_ref, huge_count_ref,
+def _fused_kernel(starts_ref, huge_starts_ref,
                   packets_hbm, huge_hbm,
                   planes_out,
                   pkt_scratch, dma_sems, depth_s, win_s, acc_s,
@@ -228,16 +228,22 @@ def _fused_kernel(starts_ref, huge_count_ref,
         done = walk(packets_hbm, start, count, start, raster_chunk,
                     jnp.int32(MAX_ENTRIES_PER_TILE // CHUNK))
         stops_smem[slot] = done
-    done = walk(huge_hbm, 0, huge_count_ref[0], HUGE_BASE, raster_chunk,
-                jnp.int32(MAX_ENTRIES_PER_TILE // CHUNK))
+    # huge stream: ONLY this tile's row's list (per-row binning); gids
+    # offset into the row-expanded array stay unique within the tile.
+    h_start = huge_starts_ref[ty]
+    h_count = huge_starts_ref[ty + 1] - h_start
+    done = walk(huge_hbm, h_start, h_count, HUGE_BASE + h_start,
+                raster_chunk, jnp.int32(MAX_ENTRIES_PER_TILE // CHUNK))
     stops_smem[span_h * span_w] = done
 
     # ---- PASS 2: exact-id one-hot payload accumulation ------------------
     # Winners can only live in chunks pass 1 visited (early-stopped
     # chunks all lost the depth test), so each range re-streams at most
-    # stops_smem[slot] chunks.
+    # stops_smem[slot] chunks.  Fully-background tiles (sky) skip the
+    # whole pass — nothing can match the -1 winners.
     acc_s[:] = jnp.zeros((EXTRA_COLS, TILE_H * TILE_W), jnp.float32)
     idx_flat = win_s[:].reshape(1, TILE_H * TILE_W)        # (1, P)
+    any_win = jnp.max(win_s[:]) >= 0
 
     def payload_chunk(i, c, gid0):
         ids = (jax.lax.broadcasted_iota(
@@ -249,17 +255,21 @@ def _fused_kernel(starts_ref, huge_count_ref,
             preferred_element_type=jnp.float32)             # (64, P)
         return False
 
-    for wy, wx, slot in ranges():
-        by = ty - wy
-        bx = tx - wx
-        b = jnp.maximum(by, 0) * tiles_x + jnp.maximum(bx, 0)
-        start = starts_ref[b]
-        count = jnp.where((by >= 0) & (bx >= 0),
-                          starts_ref[b + 1] - start, 0)
-        walk(packets_hbm, start, count, start, payload_chunk,
-             stops_smem[slot])
-    walk(huge_hbm, 0, huge_count_ref[0], HUGE_BASE, payload_chunk,
-         stops_smem[span_h * span_w])
+    @pl.when(any_win)
+    def _():
+        for wy, wx, slot in ranges():
+            by = ty - wy
+            bx = tx - wx
+            b = jnp.maximum(by, 0) * tiles_x + jnp.maximum(bx, 0)
+            start = starts_ref[b]
+            count = jnp.where((by >= 0) & (bx >= 0),
+                              starts_ref[b + 1] - start, 0)
+            walk(packets_hbm, start, count, start, payload_chunk,
+                 stops_smem[slot])
+        h_start = huge_starts_ref[ty]
+        h_count = huge_starts_ref[ty + 1] - h_start
+        walk(huge_hbm, h_start, h_count, HUGE_BASE + h_start,
+             payload_chunk, stops_smem[span_h * span_w])
 
     v = acc_s[:].reshape(EXTRA_COLS, TILE_H, TILE_W)
     # Payload columns relative to PAYLOAD_LO (=21):
@@ -358,7 +368,7 @@ def rasterize_resolve(setup: TriangleSetup, extra, width: int,
             [payload, jnp.zeros((T_, EXTRA_COLS - payload.shape[1]),
                                 jnp.float32)], axis=1)
 
-    packets, starts, huge_packets, huge_count, stats = bin_triangles(
+    packets, starts, huge_rows, huge_row_starts, stats = bin_triangles(
         setup, width, height, huge_cap, span_w=span_w, span_h=span_h,
         extra=payload)
 
@@ -389,7 +399,7 @@ def rasterize_resolve(setup: TriangleSetup, extra, width: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NUM_PLANES, ph, pw), jnp.float32),
         interpret=interpret,
-    )(starts, jnp.full((1,), huge_count, jnp.int32), packets, huge_packets)
+    )(starts, huge_row_starts, packets, huge_rows)
     return planes[:, :height, :width]
 
 

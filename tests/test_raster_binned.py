@@ -59,9 +59,11 @@ def test_huge_triangle_path():
         [-4, -4, 0.5, 1], [4, -4, 0.5, 1], [0, 4, 0.5, 1]], np.float32))
     idx = jnp.asarray(np.array([[0, 1, 2]], np.int32))
     setup = setup_triangles(clip, idx, bw, bh, cull_mode=CULL_NONE)
-    packets, starts, huge_packets, huge_count, _stats = \
+    packets, starts, huge_rows, huge_row_starts, _stats = \
         bin_triangles(setup, bw, bh)
-    assert int(huge_count) == 1
+    # per-row huge lists: one copy of the triangle in EVERY spanned row
+    rs = np.asarray(huge_row_starts)
+    assert np.array_equal(np.diff(rs), np.ones(len(rs) - 1, np.int32))
     assert int(np.asarray(starts)[-1]) == 0      # no small entries
     d_ref, t_ref = rasterize(setup, bw, bh)
     d_bin, t_bin = rasterize_binned(setup, bw, bh, interpret=True)
@@ -76,11 +78,11 @@ def test_binning_ranges():
     ], np.float32))
     idx = jnp.asarray(np.array([[0, 1, 2]], np.int32))
     setup = setup_triangles(clip, idx, W, H, cull_mode=CULL_NONE)
-    packets, starts, _, huge_count, _stats = bin_triangles(setup, W, H)
+    packets, starts, _, huge_row_starts, _stats = bin_triangles(setup, W, H)
     s = np.asarray(starts)
     counts = np.diff(s)
     tiles_x = W // 128
-    assert int(huge_count) == 0
+    assert int(np.asarray(huge_row_starts)[-1]) == 0
     assert counts.sum() >= 1
     # All entries in a single tile.
     assert (counts > 0).sum() == 1
