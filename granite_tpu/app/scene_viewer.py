@@ -107,6 +107,10 @@ class ViewerConfig:
     pcf_kernel_wide: bool = False
     hdr_bloom: bool = True
     hdr_bloom_dynamic_exposure: bool = True
+    # Pyramid truncation knob (perf bisection / quality tier): number of
+    # passes kept after the threshold (4 downsamples + 2 upsamples = 6).
+    # tonemap upsamples bloom-final from whatever resolution it has.
+    hdr_bloom_depth: int = 6
     shadow_map_resolution: float = 2048.0
     resolution_scale: float = 1.0
     post_aa: str = "none"
@@ -156,6 +160,7 @@ class ViewerConfig:
             "PCFKernelWide": "pcf_kernel_wide",
             "hdrBloom": "hdr_bloom",
             "hdrBloomDynamicExposure": "hdr_bloom_dynamic_exposure",
+            "hdrBloomDepth": "hdr_bloom_depth",
             "shadowMapResolution": "shadow_map_resolution",
             "resolutionScale": "resolution_scale",
             "postAA": "post_aa",
@@ -927,29 +932,32 @@ class SceneViewerApplication(Application):
         overlaps it with the bloom pyramid exactly like the reference's
         async-compute queue."""
         rel_rt = rel_rt or rel
+        depth = max(0, min(int(self.config.hdr_bloom_depth), 6))
+        thresh = "bloom-final" if depth == 0 else "bloom-thresh"
         g.add_pass("bloom-threshold", Queue.GRAPHICS) \
             .add_texture_input(hdr_name) \
             .add_history_input("luminance") \
-            .add_color_output("bloom-thresh", rel_rt(0.5, 4)) \
-            .set_execute(self._bloom_threshold_pass)
+            .add_color_output(thresh, rel_rt(0.5, 4)) \
+            .set_execute(self._make_bloom_threshold(thresh))
         g.add_pass("luminance", Queue.ASYNC_COMPUTE) \
-            .add_texture_input("bloom-thresh") \
+            .add_texture_input(thresh) \
             .add_history_input("luminance") \
             .add_storage_output("luminance", BufferInfo((), jnp.float32)) \
-            .set_execute(self._luminance_pass)
+            .set_execute(self._make_luminance(thresh))
         sizes = [0.25, 0.125, 0.0625, 0.03125]
-        prev = "bloom-thresh"
-        for i, s in enumerate(sizes):
+        prev = thresh
+        for i, s in enumerate(sizes[:depth]):
+            name = "bloom-final" if depth == i + 1 else f"bloom-d{i}"
             p = g.add_pass(f"bloom-down{i}", Queue.COMPUTE) \
                 .add_texture_input(prev) \
-                .add_color_output(f"bloom-d{i}", rel_rt(s, 4))
+                .add_color_output(name, rel_rt(s, 4))
             if i == 0:
-                p.add_history_input("bloom-d0")   # FEEDBACK variant
-            p.set_execute(self._make_bloom_down(i, prev))
-            prev = f"bloom-d{i}"
-        for j, s in enumerate([0.0625, 0.125]):
+                p.add_history_input(name)   # FEEDBACK variant
+            p.set_execute(self._make_bloom_down(i, prev, name))
+            prev = name
+        for j, s in enumerate([0.0625, 0.125][:max(depth - 4, 0)]):
             src = prev
-            name = "bloom-final" if j == 1 else f"bloom-u{j}"
+            name = "bloom-final" if depth == 5 + j else f"bloom-u{j}"
             g.add_pass(f"bloom-up{j}", Queue.COMPUTE) \
                 .add_texture_input(src) \
                 .add_color_output(name, rel_rt(s, 4)) \
@@ -1441,24 +1449,28 @@ class SceneViewerApplication(Application):
         from ..ops.smaa import smaa
         return {"backbuffer": encode_rgba8(smaa(ctx.input("ldr")))}
 
-    def _bloom_threshold_pass(self, ctx):
-        h, w = ctx.size("bloom-thresh")
-        avg_lin = jnp.exp2(ctx.history("luminance"))
-        return {"bloom-thresh": HDR.bloom_threshold(
-            ctx.input(self._hdr_name), avg_lin, h, w,
-            dynamic_exposure=self.config.hdr_bloom_dynamic_exposure)}
-
-    def _luminance_pass(self, ctx):
-        new_log = HDR.average_log_luminance(
-            ctx.input("bloom-thresh"), ctx.history("luminance"),
-            ctx.params["frame_time"])
-        return {"luminance": new_log}
-
-    def _make_bloom_down(self, i: int, src: str):
+    def _make_bloom_threshold(self, dst: str):
         def ex(ctx):
-            h, w = ctx.size(f"bloom-d{i}")
-            hist = ctx.history("bloom-d0") if i == 0 else None
-            return {f"bloom-d{i}": HDR.bloom_downsample(
+            h, w = ctx.size(dst)
+            avg_lin = jnp.exp2(ctx.history("luminance"))
+            return {dst: HDR.bloom_threshold(
+                ctx.input(self._hdr_name), avg_lin, h, w,
+                dynamic_exposure=self.config.hdr_bloom_dynamic_exposure)}
+        return ex
+
+    def _make_luminance(self, src: str):
+        def ex(ctx):
+            new_log = HDR.average_log_luminance(
+                ctx.input(src), ctx.history("luminance"),
+                ctx.params["frame_time"])
+            return {"luminance": new_log}
+        return ex
+
+    def _make_bloom_down(self, i: int, src: str, dst: str):
+        def ex(ctx):
+            h, w = ctx.size(dst)
+            hist = ctx.history(dst) if i == 0 else None
+            return {dst: HDR.bloom_downsample(
                 ctx.input(src), h, w, history=hist,
                 frame_time=ctx.params["frame_time"] if i == 0 else None)}
         return ex
