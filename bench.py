@@ -43,11 +43,19 @@ def bench_deferred_hdr(width=1920, height=1080, frames=12):
     # also compiling the per-frame step (the Fossilize lesson).
     # block_until_ready() does NOT wait on the axon tunnel (CLAUDE.md)
     # — a tiny readback is the only true fence.
+    # camera_orbit: the HONESTY knob — with a fully static frame XLA
+    # hoists the loop-invariant render out of the scan and a 12-frame
+    # chain times ~1 frame of work (round-3 finding; see
+    # render_frames_chained docstring).  A real viewer's camera moves
+    # every frame; 0.01 rad/frame keeps frame-0 culling valid.
+    ORBIT = 0.01
     t_c0 = time.monotonic_ns()
-    np.asarray(app.render_frames_chained(1 / 60, 1 / 60, frames)[0, 0:1])
+    np.asarray(app.render_frames_chained(
+        1 / 60, 1 / 60, frames, camera_orbit=ORBIT)[0, 0:1])
     compile_s = (time.monotonic_ns() - t_c0) / 1e9
     t0 = time.monotonic_ns()
-    out = app.render_frames_chained(1 / 60, 2 / 60, frames)
+    out = app.render_frames_chained(1 / 60, 2 / 60, frames,
+                                    camera_orbit=ORBIT)
     np.asarray(out[0, 0:1])
     dt_ms = (time.monotonic_ns() - t0) / 1e6 / frames
     print(json.dumps({"compileTimeS": round(compile_s, 1)},

@@ -1920,12 +1920,23 @@ class SceneViewerApplication(Application):
         return out
 
     def render_frames_chained(self, frame_time: float, t0: float,
-                              n: int):
+                              n: int, camera_orbit: float = 0.0):
         """Render n frames with ONE device dispatch for frames 2..n
         (graph.execute_chain — the present-to-swapchain analogue; only
         the last backbuffer returns to the host, plus a f32 checksum of
         every chained frame that defeats scan DCE).  Falls back to
         per-frame render_frame when the scene is time-varying.
+
+        camera_orbit > 0 yaws the camera by that many radians each
+        chained frame (view/view_proj/camera_pos and the host light
+        bins ride as stacked params).  This is the HONESTY knob for
+        benches: with a fully static frame the scan body is loop-
+        invariant and XLA hoists the entire render out of the loop —
+        measured round 3: a 12-frame "static" chain timed ~1 frame of
+        work (43.2 "ms/frame" at n=12 vs 25.1 at n=24, constant total)
+        — so a real bench MUST vary the camera per frame, exactly like
+        a real viewer does.  Frustum/shadow culling masks stay at their
+        frame-0 values (keep the orbit small).
 
         TAA/FSR2 configs chain too: for a static camera the temporal
         reprojection matrix and prev-frame transforms are constant, and
@@ -1959,6 +1970,49 @@ class SceneViewerApplication(Application):
         params.pop("frame_time")
         stacked = {"frame_time": jnp.broadcast_to(
             jnp.float32(frame_time), (chain_n,))}
+        if camera_orbit != 0.0 and self._jitter is None:
+            from ..math.muglm import quat_from_axis_angle, quat_rotate
+            saved_pos = self.camera.position.copy()
+            saved_rot = self.camera.rotation.copy()
+            conj = np.array([saved_rot[0], -saved_rot[1],
+                             -saved_rot[2], -saved_rot[3]])
+            banks = {k: [] for k in ("view_proj", "inv_view_proj",
+                                     "view", "camera_pos")}
+            zb, tb = [], []
+            lights = params.get("lights")
+            for i in range(chain_n):
+                yaw = quat_from_axis_angle([0.0, 1.0, 0.0],
+                                           i * camera_orbit)
+                front = quat_rotate(yaw, quat_rotate(
+                    conj, [0.0, 0.0, -1.0]))
+                self.camera.position = saved_pos
+                self.camera.look_at(saved_pos, saved_pos + front)
+                ctx = RenderContext()
+                ctx.set_camera(self.camera)
+                banks["view_proj"].append(ctx.view_projection)
+                banks["inv_view_proj"].append(
+                    np.linalg.inv(ctx.view_projection).astype(
+                        np.float32))
+                banks["view"].append(ctx.view)
+                banks["camera_pos"].append(ctx.camera_pos)
+                if lights is not None:
+                    zn, zf = self._cluster_range
+                    zb.append(bin_lights_z(lights, ctx.view,
+                                           self.CLUSTER_Z_SLICES,
+                                           zn, zf))
+                    tb.append(bin_lights_tiles(
+                        lights, ctx.view_projection, self._rw,
+                        self._rh, self.CLUSTER_TILE))
+            self.camera.position = saved_pos
+            self.camera.rotation = saved_rot
+            for k, v in banks.items():
+                params.pop(k)
+                stacked[k] = jnp.asarray(np.stack(v))
+            if lights is not None:
+                params.pop("z_masks")
+                params.pop("tile_masks")
+                stacked["z_masks"] = jnp.stack(zb)
+                stacked["tile_masks"] = jnp.stack(tb)
         if self._jitter is not None:
             # Step the deterministic jitter host-side for each chained
             # frame; the un-jittered VP is constant (static camera), so
