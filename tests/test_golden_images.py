@@ -14,9 +14,12 @@ import pytest
 from golden_utils import CONFIGS, GOLDEN_DIR, psnr, render_config
 from granite_tpu.utils.image_io import load_image
 
-# Same-platform reruns are bit-identical (PSNR 99); the gate absorbs
-# tiny cross-version numeric drift while catching real regressions.
-PSNR_GATE_DB = 35.0
+# Same-platform reruns are bit-identical (PSNR 99), so the gate can sit
+# high: 48 dB catches even small shading regressions while still
+# absorbing cross-version numeric drift (round-2 verdict: 35 dB hid
+# sizable regressions).  Intentional image changes => regenerate via
+# tools/gen_goldens.py in the same commit.
+PSNR_GATE_DB = 48.0
 
 
 @pytest.mark.parametrize(
