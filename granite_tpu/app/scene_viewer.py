@@ -1971,48 +1971,8 @@ class SceneViewerApplication(Application):
         stacked = {"frame_time": jnp.broadcast_to(
             jnp.float32(frame_time), (chain_n,))}
         if camera_orbit != 0.0 and self._jitter is None:
-            from ..math.muglm import quat_from_axis_angle, quat_rotate
-            saved_pos = self.camera.position.copy()
-            saved_rot = self.camera.rotation.copy()
-            conj = np.array([saved_rot[0], -saved_rot[1],
-                             -saved_rot[2], -saved_rot[3]])
-            banks = {k: [] for k in ("view_proj", "inv_view_proj",
-                                     "view", "camera_pos")}
-            zb, tb = [], []
-            lights = params.get("lights")
-            for i in range(chain_n):
-                yaw = quat_from_axis_angle([0.0, 1.0, 0.0],
-                                           i * camera_orbit)
-                front = quat_rotate(yaw, quat_rotate(
-                    conj, [0.0, 0.0, -1.0]))
-                self.camera.position = saved_pos
-                self.camera.look_at(saved_pos, saved_pos + front)
-                ctx = RenderContext()
-                ctx.set_camera(self.camera)
-                banks["view_proj"].append(ctx.view_projection)
-                banks["inv_view_proj"].append(
-                    np.linalg.inv(ctx.view_projection).astype(
-                        np.float32))
-                banks["view"].append(ctx.view)
-                banks["camera_pos"].append(ctx.camera_pos)
-                if lights is not None:
-                    zn, zf = self._cluster_range
-                    zb.append(bin_lights_z(lights, ctx.view,
-                                           self.CLUSTER_Z_SLICES,
-                                           zn, zf))
-                    tb.append(bin_lights_tiles(
-                        lights, ctx.view_projection, self._rw,
-                        self._rh, self.CLUSTER_TILE))
-            self.camera.position = saved_pos
-            self.camera.rotation = saved_rot
-            for k, v in banks.items():
-                params.pop(k)
-                stacked[k] = jnp.asarray(np.stack(v))
-            if lights is not None:
-                params.pop("z_masks")
-                params.pop("tile_masks")
-                stacked["z_masks"] = jnp.stack(zb)
-                stacked["tile_masks"] = jnp.stack(tb)
+            self.stack_orbit_params(params, stacked, chain_n,
+                                    camera_orbit)
         if self._jitter is not None:
             # Step the deterministic jitter host-side for each chained
             # frame; the un-jittered VP is constant (static camera), so
@@ -2035,6 +1995,55 @@ class SceneViewerApplication(Application):
             params, stacked, self._history, chain_n)
         self._last_chain_checksum = chk
         return out
+
+    def stack_orbit_params(self, params: dict, stacked: dict, n: int,
+                           camera_orbit: float) -> None:
+        """Move the camera-derived params (view/view_proj/camera_pos +
+        host light bins) from `params` into per-frame `stacked` banks,
+        yawing the camera `camera_orbit` radians per frame.  Shared by
+        render_frames_chained and tools/frame_probe.py — the honesty
+        mechanism that keeps a chained frame loop-VARIANT (see the
+        render_frames_chained docstring)."""
+        from ..math.muglm import quat_from_axis_angle, quat_rotate
+        saved_pos = self.camera.position.copy()
+        saved_rot = self.camera.rotation.copy()
+        conj = np.array([saved_rot[0], -saved_rot[1],
+                         -saved_rot[2], -saved_rot[3]])
+        banks = {k: [] for k in ("view_proj", "inv_view_proj",
+                                 "view", "camera_pos")}
+        zb, tb = [], []
+        lights = params.get("lights")
+        for i in range(n):
+            yaw = quat_from_axis_angle([0.0, 1.0, 0.0],
+                                       i * camera_orbit)
+            front = quat_rotate(yaw, quat_rotate(
+                conj, [0.0, 0.0, -1.0]))
+            self.camera.position = saved_pos
+            self.camera.look_at(saved_pos, saved_pos + front)
+            ctx = RenderContext()
+            ctx.set_camera(self.camera)
+            banks["view_proj"].append(ctx.view_projection)
+            banks["inv_view_proj"].append(
+                np.linalg.inv(ctx.view_projection).astype(np.float32))
+            banks["view"].append(ctx.view)
+            banks["camera_pos"].append(ctx.camera_pos)
+            if lights is not None:
+                zn, zf = self._cluster_range
+                zb.append(bin_lights_z(lights, ctx.view,
+                                       self.CLUSTER_Z_SLICES, zn, zf))
+                tb.append(bin_lights_tiles(
+                    lights, ctx.view_projection, self._rw, self._rh,
+                    self.CLUSTER_TILE))
+        self.camera.position = saved_pos
+        self.camera.rotation = saved_rot
+        for k, v in banks.items():
+            params.pop(k)
+            stacked[k] = jnp.asarray(np.stack(v))
+        if lights is not None:
+            params.pop("z_masks")
+            params.pop("tile_masks")
+            stacked["z_masks"] = jnp.stack(zb)
+            stacked["tile_masks"] = jnp.stack(tb)
 
     def capture_environment_probe(self, path: str, face_size: int = 512,
                                   equirect_height: int = 256):

@@ -79,6 +79,10 @@ def main():
     stacked = {"frame_time": jnp.broadcast_to(jnp.float32(1 / 60), (n,))}
     static = dict(params)
     static.pop("frame_time", None)
+    # ORBIT the camera per frame (round-3 hoist finding): a static
+    # camera makes every prefix loop-invariant and XLA hoists it out of
+    # the scan — the round-2 ladder measured hoistability, not cost.
+    app.stack_orbit_params(static, stacked, n, 0.01)
 
     g = app.graph
     prev = None
