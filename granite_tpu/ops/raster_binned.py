@@ -58,6 +58,57 @@ PACKET_F32 = 128
 # within each bin so the tile kernels can terminate a bin early once
 # every pixel's depth exceeds the chunk bound (classic early-z).
 COL_ZMAX = 120
+# Chunk-union tile bbox, packed lo + (hi << 11) as an INTEGER-VALUED
+# f32 (exact: < 2^22; Mosaic has no scalar bitcast), written into the
+# FIRST row of every 16-row group of the sorted array: the kernels skip
+# a whole chunk when its union misses their tile (a tile scans the bins
+# of a span_h x span_w window; most neighbor-bin packets never reach it
+# — measured round 3: the window scan made the gbuffer rung ~148
+# ms/frame at 1080p).
+COL_UNION_X = 126          # min_tx + max_tx * 2048
+COL_UNION_Y = 127          # min_ty + max_ty * 2048
+_UNION_SHIFT = 11          # tile ids < 2048 (ntiles < 2048 asserted)
+# Quantized-z bits folded into the bin sort key: ONE argsort orders by
+# (bin, front-to-back) instead of a z pre-sort + stable bin sort (XLA
+# TPU sort is expensive: ~25 ms at 260k keys).
+_ZQ_BITS = 20
+_ZQ_MAX = (1 << _ZQ_BITS) - 1
+
+
+def _zq_key(zmax: jax.Array) -> jax.Array:
+    """Ascending i32 key: nearest (largest reverse-Z zmax) first."""
+    return (jnp.clip(1.0 - zmax, 0.0, 1.0) * _ZQ_MAX).astype(jnp.int32)
+
+
+def _pack_chunk_unions(arr: jax.Array, tx0, ty0, tx1, ty1,
+                       n_valid_key) -> jax.Array:
+    """Write per-16-row-group bbox unions into rows 0::16 of `arr`.
+
+    tx0.. are the per-row tile bboxes IN SORTED ORDER (invalid rows —
+    key >= n_valid_key — contribute empty boxes).  The kernels read the
+    union from the chunk's first row, so ranges must be walked
+    16-ALIGNED (head rows masked)."""
+    n = arr.shape[0] - CHUNK              # arr is padded by one chunk
+    g = -(-n // CHUNK)                    # the pad covers a partial tail
+    big = jnp.int32(1 << 14)
+
+    def grp(v, red, empty):
+        v = jnp.where(n_valid_key, v, empty)
+        v = jnp.concatenate([v, jnp.full((g * CHUNK - n,), empty,
+                                         v.dtype)])
+        return red(v.reshape(g, CHUNK), axis=1)
+
+    # An empty group packs lo=2047, hi=0 -> lo > hi -> never hits.
+    ux0 = jnp.minimum(grp(tx0, jnp.min, big), 2047)
+    uy0 = jnp.minimum(grp(ty0, jnp.min, big), 2047)
+    ux1 = jnp.maximum(grp(tx1, jnp.max, -1), 0)
+    uy1 = jnp.maximum(grp(ty1, jnp.max, -1), 0)
+    px = (ux0 + (ux1 << _UNION_SHIFT)).astype(jnp.float32)
+    py = (uy0 + (uy1 << _UNION_SHIFT)).astype(jnp.float32)
+    rows = jnp.arange(g, dtype=jnp.int32) * CHUNK
+    arr = arr.at[rows, COL_UNION_X].set(px)
+    arr = arr.at[rows, COL_UNION_Y].set(py)
+    return arr
 
 
 def _tri_zmax(setup: TriangleSetup) -> jax.Array:
@@ -127,19 +178,18 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     ty = -(-height // TILE_H)
     ntiles = tx * ty
 
+    assert ntiles < (1 << 11), "composite sort key needs ntiles < 2048"
     bbox = setup.bbox
     valid = setup.valid
     packets_full = _build_packets(setup, extra)
-    # FRONT-TO-BACK pre-sort (descending conservative zmax, reverse-Z):
-    # the later stable bin sort keeps this order within each bin, and
-    # the huge compaction's cumsum preserves it, so both tile kernels
-    # can early-terminate once a tile is fully covered nearer than the
-    # chunk bound.  This replaces brute-forcing dense tiles (the bench's
-    # sphere cluster reaches >30k entries in one 32x128 tile at 1080p).
-    ordz = jnp.argsort(-packets_full[:, COL_ZMAX], stable=False)
-    packets_full = packets_full[ordz]
-    bbox = bbox[ordz]
-    valid = valid[ordz]
+    # FRONT-TO-BACK ordering rides the bin sort key: key = bin << 20 |
+    # quantized(1 - zmax), so ONE argsort yields bin-grouped ranges that
+    # are near-first within each bin (reverse-Z GREATER) and both tile
+    # kernels can early-terminate once a tile is fully covered nearer
+    # than the chunk bound.  (Replaces a separate z pre-sort + stable
+    # bin sort: XLA TPU argsort costs ~25 ms at 260k keys — one sort,
+    # not two.)
+    zq = _zq_key(packets_full[:, COL_ZMAX])
     stats = {}
     if extra is not None:
         assert max_visible is None, "extra payload + compaction unsupported"
@@ -154,6 +204,8 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
             .at[dst].set(packets_full, mode="drop")
         bbox = jnp.zeros((C, 4), jnp.int32).at[dst].set(bbox, mode="drop")
         valid = jnp.zeros((C,), bool).at[dst].set(sel, mode="drop")
+        zq = jnp.full((C,), _ZQ_MAX, jnp.int32).at[dst].set(
+            zq, mode="drop")
     else:
         packets = packets_full
         stats["visible_overflow"] = jnp.int32(0)
@@ -169,15 +221,20 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     huge = valid & ~small
 
     # --- small: ONE key per triangle = its top-left covered bin ------------
-    keys = jnp.where(small, ty0 * tx + tx0, ntiles).astype(jnp.int32)
-    order = jnp.argsort(keys)                           # stable
-    sorted_keys = keys[order]
+    keys = jnp.where(small,
+                     ((ty0 * tx + tx0) << _ZQ_BITS) | zq,
+                     ntiles << _ZQ_BITS).astype(jnp.int32)
+    order = jnp.argsort(keys, stable=False)
+    sorted_keys = keys[order] >> _ZQ_BITS
 
     packets_sorted = packets[order]
     # Pad one DMA chunk: the kernel reads chunk-aligned ranges and may
     # touch up to CHUNK-1 rows past a range end.
     packets_sorted = jnp.concatenate(
         [packets_sorted, jnp.zeros((CHUNK, PACKET_F32), jnp.float32)])
+    packets_sorted = _pack_chunk_unions(
+        packets_sorted, tx0[order], ty0[order], tx1[order], ty1[order],
+        sorted_keys < ntiles)
     starts = jnp.searchsorted(sorted_keys,
                               jnp.arange(ntiles + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)
@@ -198,27 +255,36 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     huge_packets = huge_packets.at[slots].set(packets, mode="drop")
     hbb = jnp.full((alloc, 4), -1, jnp.int32).at[slots].set(bbox,
                                                             mode="drop")
+    hzq = jnp.full((alloc,), _ZQ_MAX, jnp.int32).at[slots].set(
+        zq, mode="drop")
     n_huge = huge.sum()
     huge_count = jnp.minimum(n_huge, huge_cap).astype(jnp.int32)
     stats["huge_overflow"] = jnp.maximum(
         n_huge - huge_cap, 0).astype(jnp.int32)
 
+    htx0 = jnp.clip(hbb[:, 0] // TILE_W, 0, tx - 1)
+    htx1 = jnp.clip((hbb[:, 2] - 1) // TILE_W, 0, tx - 1)
     hty0 = jnp.clip(hbb[:, 1] // TILE_H, 0, ty - 1)
     hty1 = jnp.clip((hbb[:, 3] - 1) // TILE_H, 0, ty - 1)
     live = (jnp.arange(alloc) < huge_count) & (hbb[:, 3] > hbb[:, 1])
     rows = jnp.arange(ty, dtype=jnp.int32)[None, :]        # (alloc, ty)
     pair_mask = live[:, None] & (rows >= hty0[:, None]) \
         & (rows <= hty1[:, None])
-    pair_keys = jnp.where(pair_mask, rows, ty).reshape(-1)
-    # stable: ties keep flat order slot*ty+row -> ascending slot per
-    # row == the z pre-sort order
-    order_h = jnp.argsort(pair_keys)
+    # composite: front-to-back within each row via the same zq bits
+    pair_keys = jnp.where(pair_mask,
+                          (rows << _ZQ_BITS) | hzq[:, None],
+                          ty << _ZQ_BITS).reshape(-1)
+    order_h = jnp.argsort(pair_keys, stable=False)
     pair_slot = (jnp.arange(alloc * ty, dtype=jnp.int32) // ty)[order_h]
     huge_rows = huge_packets[pair_slot]
     huge_rows = jnp.concatenate(
         [huge_rows, jnp.zeros((CHUNK, PACKET_F32), jnp.float32)])
+    sorted_rows = pair_keys[order_h] >> _ZQ_BITS
+    huge_rows = _pack_chunk_unions(
+        huge_rows, htx0[pair_slot], hty0[pair_slot], htx1[pair_slot],
+        hty1[pair_slot], sorted_rows < ty)
     huge_row_starts = jnp.searchsorted(
-        pair_keys[order_h], jnp.arange(ty + 1, dtype=jnp.int32),
+        sorted_rows, jnp.arange(ty + 1, dtype=jnp.int32),
         side="left").astype(jnp.int32)
     return packets_sorted, starts, huge_rows, huge_row_starts, stats
 
@@ -287,11 +353,16 @@ def _raster_tile_kernel(starts_ref, huge_starts_ref,     # scalar prefetch
         # way under overload.  Overflow is observable host-side via the
         # per-bin range sizes (rasterize_binned stats).
         count = jnp.minimum(count, MAX_ENTRIES_PER_TILE)
-        n_chunks = pl.cdiv(count, CHUNK)
+        # 16-ALIGNED walk: the chunk-union bbox (COL_UNION_*) lives in
+        # the first row of each aligned 16-row group; head rows outside
+        # [start, start+count) are masked like the tail.
+        astart = (start // CHUNK) * CHUNK
+        head = start - astart
+        n_chunks = pl.cdiv(count + head, CHUNK)
 
         def get_dma(buf, i):
             return pltpu.make_async_copy(
-                hbm_ref.at[pl.ds(start + i * CHUNK, CHUNK), :],
+                hbm_ref.at[pl.ds(astart + i * CHUNK, CHUNK), :],
                 pkt_scratch.at[buf],
                 dma_sems.at[buf])
 
@@ -310,21 +381,34 @@ def _raster_tile_kernel(starts_ref, huge_starts_ref,     # scalar prefetch
                 def _():
                     get_dma((i + 1) % 2, i + 1).start()
                 get_dma(buf, i).wait()
-                c = pkt_scratch[buf]
-                # Mask tail entries: entries beyond count get z-plane
-                # values but their lam test may pass; zero them by
-                # overwriting coverage via tri slot compare.
-                valid_rows = (jax.lax.broadcasted_iota(
-                    jnp.int32, (CHUNK, 1), 0)[:, 0] + i * CHUNK) < count
-                c = jnp.where(valid_rows[:, None], c, 0.0)
-                process_chunk(c)
+                craw = pkt_scratch[buf]
+                # Chunk-union tile bbox from the UNMASKED first row
+                # (unions cover the whole aligned group, so they are
+                # conservative for any sub-range) — skip the whole
+                # 16-triangle eval when it cannot touch this tile.
+                M = (1 << _UNION_SHIFT) - 1
+                ux = craw[0, COL_UNION_X].astype(jnp.int32)
+                uy = craw[0, COL_UNION_Y].astype(jnp.int32)
+                hit_tile = ((ux & M) <= tx) \
+                    & (tx <= (ux >> _UNION_SHIFT)) \
+                    & ((uy & M) <= ty) & (ty <= (uy >> _UNION_SHIFT))
+                # Mask head+tail rows outside [start, start+count).
+                r = (jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK, 1), 0)[:, 0] + i * CHUNK)
+                valid_rows = (r >= head) & (r < head + count)
+                c = jnp.where(valid_rows[:, None], craw, 0.0)
+
+                @pl.when(hit_tile)
+                def _():
+                    process_chunk(c)
                 # EARLY-Z: packets are front-to-back per bin (descending
                 # conservative zmax); once every pixel's depth exceeds
                 # this chunk's bound, no later triangle in the range can
-                # pass the GREATER test.  Masked tail rows contribute a
-                # 0 bound — conservative (a 0 bound never stops early
-                # while any pixel is still uncovered at depth 0).
-                zb = jnp.max(c[:, COL_ZMAX])
+                # pass the GREATER test.  Masked rows contribute a 0
+                # bound — conservative.  The sort key quantizes zmax to
+                # 2^-20, so a later row may exceed this bound by one
+                # quantum: pad the bound by it.
+                zb = jnp.max(c[:, COL_ZMAX]) + jnp.float32(2.0 ** -19)
                 stop = zb <= jnp.min(depth_s[:])
                 return (i + 1, stop)
 

@@ -145,15 +145,24 @@ def _fused_kernel(starts_ref, huge_starts_ref,
         return out
 
     def walk(hbm_ref, start, count, gid_base, on_chunk, n_chunks_cap):
-        """Stream [start, start+count) in CHUNK rows with double-
-        buffered DMA; on_chunk(i, c, valid_rows) returns stop (early-z).
+        """Stream [start, start+count) in 16-ALIGNED CHUNK rows with
+        double-buffered DMA; on_chunk(i, c, gid0, hit_tile) returns
+        stop (early-z).  gid_base must be the UNALIGNED range start's
+        global-id base; row ids follow the aligned grid.  Head/tail
+        rows outside the range are zero-masked; hit_tile is the
+        chunk-union bbox test (see raster_binned.COL_UNION_*).
         Returns chunks processed."""
+        from .raster_binned import COL_UNION_X, COL_UNION_Y, _UNION_SHIFT
         count = jnp.minimum(count, MAX_ENTRIES_PER_TILE)
-        n_chunks = jnp.minimum(pl.cdiv(count, CHUNK), n_chunks_cap)
+        astart = (start // CHUNK) * CHUNK
+        head = start - astart
+        agid = gid_base - head
+        n_chunks = jnp.minimum(pl.cdiv(count + head, CHUNK),
+                               n_chunks_cap)
 
         def get_dma(buf, i):
             return pltpu.make_async_copy(
-                hbm_ref.at[pl.ds(start + i * CHUNK, CHUNK), :],
+                hbm_ref.at[pl.ds(astart + i * CHUNK, CHUNK), :],
                 pkt_scratch.at[buf],
                 dma_sems.at[buf])
 
@@ -168,14 +177,22 @@ def _fused_kernel(starts_ref, huge_starts_ref,
             def _():
                 get_dma((i + 1) % 2, i + 1).start()
             get_dma(buf, i).wait()
-            c = pkt_scratch[buf]
-            valid_rows = (jax.lax.broadcasted_iota(
-                jnp.int32, (CHUNK, 1), 0)[:, 0] + i * CHUNK) < count
-            c = jnp.where(valid_rows[:, None], c, 0.0)
+            craw = pkt_scratch[buf]
+            M = (1 << _UNION_SHIFT) - 1
+            ux = craw[0, COL_UNION_X].astype(jnp.int32)
+            uy = craw[0, COL_UNION_Y].astype(jnp.int32)
+            hit_tile = ((ux & M) <= tx) \
+                & (tx <= (ux >> _UNION_SHIFT)) \
+                & ((uy & M) <= ty) & (ty <= (uy >> _UNION_SHIFT))
+            r = (jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, 1), 0)[:, 0] + i * CHUNK)
+            valid_rows = (r >= head) & (r < head + count)
+            c = jnp.where(valid_rows[:, None], craw, 0.0)
             # asarray: a Python-bool stop (pass 2 never stops early)
             # must still lower as i1 in the while carry (Mosaic).
-            stop = jnp.asarray(on_chunk(i, c, gid_base + i * CHUNK),
-                               dtype=jnp.bool_)
+            stop = jnp.asarray(
+                on_chunk(i, c, agid + i * CHUNK, hit_tile),
+                dtype=jnp.bool_)
             return (i + 1, stop)
 
         @pl.when(n_chunks > 0)
@@ -191,32 +208,36 @@ def _fused_kernel(starts_ref, huge_starts_ref,
         return fi
 
     # ---- PASS 1: raster every chunk, winner = global packet row --------
-    def raster_chunk(i, c, gid0):
-        depth_cur = depth_s[:]
-        win_cur = win_s[:]
-        for k in range(CHUNK):
-            lam_ok = None
-            for e in range(3):
-                a = c[k, e * 5 + 0]
-                b = c[k, e * 5 + 1]
-                cc = c[k, e * 5 + 2]
-                ex = c[k, e * 5 + 3]
-                ey = c[k, e * 5 + 4]
-                lam = a * (px - ex) + b * (py - ey) + cc
-                top_left = (a > 0) | ((a == 0) & (b > 0))
-                ok = (lam > 0) | (top_left & (lam == 0))
-                lam_ok = ok if lam_ok is None else (lam_ok & ok)
-            z = (c[k, 15] * (px - c[k, 18]) + c[k, 16] * (py - c[k, 19])
-                 + c[k, 17])
-            cover = lam_ok & (z >= 0.0) & (z <= 1.0)
-            hit = cover & (z > depth_cur)
-            depth_cur = jnp.where(hit, z, depth_cur)
-            win_cur = jnp.where(hit, gid0 + k, win_cur)
-        depth_s[:] = depth_cur
-        win_s[:] = win_cur
+    def raster_chunk(i, c, gid0, hit_tile):
+        @pl.when(hit_tile)
+        def _():
+            depth_cur = depth_s[:]
+            win_cur = win_s[:]
+            for k in range(CHUNK):
+                lam_ok = None
+                for e in range(3):
+                    a = c[k, e * 5 + 0]
+                    b = c[k, e * 5 + 1]
+                    cc = c[k, e * 5 + 2]
+                    ex = c[k, e * 5 + 3]
+                    ey = c[k, e * 5 + 4]
+                    lam = a * (px - ex) + b * (py - ey) + cc
+                    top_left = (a > 0) | ((a == 0) & (b > 0))
+                    ok = (lam > 0) | (top_left & (lam == 0))
+                    lam_ok = ok if lam_ok is None else (lam_ok & ok)
+                z = (c[k, 15] * (px - c[k, 18])
+                     + c[k, 16] * (py - c[k, 19]) + c[k, 17])
+                cover = lam_ok & (z >= 0.0) & (z <= 1.0)
+                hit = cover & (z > depth_cur)
+                depth_cur = jnp.where(hit, z, depth_cur)
+                win_cur = jnp.where(hit, gid0 + k, win_cur)
+            depth_s[:] = depth_cur
+            win_s[:] = win_cur
         # EARLY-Z (see raster_binned): front-to-back order makes the
-        # chunk's conservative bound monotone within the bin range.
-        return jnp.max(c[:, COL_ZMAX]) <= jnp.min(depth_cur)
+        # chunk's conservative bound monotone within the bin range
+        # (padded by one zq quantum — the sort key rounds zmax).
+        return (jnp.max(c[:, COL_ZMAX]) + jnp.float32(2.0 ** -19)) \
+            <= jnp.min(depth_s[:])
 
     for wy, wx, slot in ranges():
         by = ty - wy
@@ -245,14 +266,16 @@ def _fused_kernel(starts_ref, huge_starts_ref,
     idx_flat = win_s[:].reshape(1, TILE_H * TILE_W)        # (1, P)
     any_win = jnp.max(win_s[:]) >= 0
 
-    def payload_chunk(i, c, gid0):
-        ids = (jax.lax.broadcasted_iota(
-            jnp.int32, (CHUNK, TILE_H * TILE_W), 0) + gid0)
-        match = (ids == idx_flat).astype(jnp.float32)       # (CHUNK, P)
-        w = c[:, PAYLOAD_LO:PAYLOAD_LO + EXTRA_COLS]        # (CHUNK, 64)
-        acc_s[:] = acc_s[:] + jax.lax.dot_general(
-            w, match, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (64, P)
+    def payload_chunk(i, c, gid0, hit_tile):
+        @pl.when(hit_tile)
+        def _():
+            ids = (jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, TILE_H * TILE_W), 0) + gid0)
+            match = (ids == idx_flat).astype(jnp.float32)   # (CHUNK, P)
+            w = c[:, PAYLOAD_LO:PAYLOAD_LO + EXTRA_COLS]    # (CHUNK, 64)
+            acc_s[:] = acc_s[:] + jax.lax.dot_general(
+                w, match, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (64, P)
         return False
 
     @pl.when(any_win)
