@@ -7,6 +7,7 @@ import types
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from granite_tpu.ops.decals import (
     apply_decals, apply_decals_reference, build_decal_strips,
@@ -105,6 +106,7 @@ def test_decal_world_aabbs_and_scene_gather():
     assert list(vis) == [0]
 
 
+@pytest.mark.slow
 def test_viewer_decal_knob_changes_pixels():
     """volumetricDecals knob: a decal box over the procedural scene's
     floor darkens covered pixels."""

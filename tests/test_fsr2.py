@@ -103,6 +103,7 @@ def test_subpixel_detail_recovery():
     assert err < 0.08, f"detail not recovered (mean err {err})"
 
 
+@pytest.mark.slow
 def test_viewer_taafsr2_knob():
     """postAA taaFSR2 renders at resolutionScale and outputs display
     res."""

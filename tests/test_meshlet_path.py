@@ -97,6 +97,7 @@ def _render(info: SceneInfo) -> np.ndarray:
     return np.asarray(img)
 
 
+@pytest.mark.slow
 def test_meshlet_scene_matches_classic_render():
     """The same scene rendered from meshlet-encoded buffers must stay
     within quantization distance of the classic path (VERDICT round-2

@@ -99,6 +99,7 @@ def test_shard_real_deferred_graph():
     assert np.abs(mismatch).mean() < 0.05
 
 
+@pytest.mark.slow
 def test_sharded_binned_raster_owns_triangles():
     """Each chip rasterizes only triangles intersecting its row band
     (VERDICT r2 #6): output matches the replicated raster exactly and

@@ -87,6 +87,7 @@ def test_restitution_bounces():
     assert bounced
 
 
+@pytest.mark.slow
 def test_box_stack_settles():
     sys_, scene, _ = make_world()
     n0 = scene.create_node(translation=[0, 0.5, 0], scale=[0.5, 0.5, 0.5])
@@ -213,6 +214,7 @@ def test_overlap_queries():
                                if h.index != 0]) >= 1
 
 
+@pytest.mark.slow
 def test_ghost_area_no_response_but_events():
     EventManager.reset()
     sys_, scene, _ = make_world()

@@ -34,6 +34,7 @@ def test_binned_matches_reference_small():
     assert np.allclose(np.asarray(d_ref), np.asarray(d_bin), atol=0.0)
 
 
+@pytest.mark.slow
 def test_binned_matches_reference_perspective():
     rng = np.random.RandomState(3)
     n = 50
@@ -51,6 +52,7 @@ def test_binned_matches_reference_perspective():
     assert np.allclose(np.asarray(d_ref), np.asarray(d_bin))
 
 
+@pytest.mark.slow
 def test_huge_triangle_path():
     # One screen-filling triangle on a big tile grid (8x8 tiles) exceeds
     # the 2x4-tile emit window and must take the huge-list path.

@@ -2,6 +2,7 @@
 visibility-buffer path — interpret-mode equivalence."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from granite_tpu.ops import raster as R
@@ -55,6 +56,7 @@ def _scene():
     return info
 
 
+@pytest.mark.slow
 def test_fused_matches_classic_resolve():
     info = _scene()
     packed = pack_scene(info, texture_size=16)

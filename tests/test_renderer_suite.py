@@ -5,6 +5,7 @@ import tempfile
 import types
 
 import numpy as np
+import pytest
 
 from granite_tpu.renderer.suite import Config, RendererSuite, Type
 
@@ -39,6 +40,7 @@ def test_suite_default_roles_pcf_vs_vsm():
     assert s2.config.directional_light_vsm
 
 
+@pytest.mark.slow
 def test_suite_override_renderer_drives_graph():
     """set_renderer replaces a role before bake (the reference escape
     hatch); the graph then runs the override."""
