@@ -30,6 +30,7 @@ def main() -> int:
     frames = 12
     seq = False
     orbit = 0.0
+    ablate = None
     for kv in sys.argv[2:]:
         k, v = kv.split("=", 1)
         if k == "frames":
@@ -38,8 +39,12 @@ def main() -> int:
             seq = json.loads(v)
         elif k == "orbit":
             orbit = float(v)
+        elif k == "ablate":
+            ablate = v          # env | lights | shadows
         else:
             cfg[k] = json.loads(v)
+    if ablate == "shadows":
+        cfg["directionalLightShadows"] = False
     with tempfile.NamedTemporaryFile("w", suffix=".json",
                                      delete=False) as f:
         json.dump(cfg, f)
@@ -47,6 +52,20 @@ def main() -> int:
     from granite_tpu.app.scene_viewer import SceneViewerApplication
     app = SceneViewerApplication(types.SimpleNamespace(
         scene=None, config=path, camera_index=-1, bench_scene=True))
+    # Lighting-attribution ablations (patch BEFORE the graph bakes).
+    if ablate == "env":
+        orig = app._light_kwargs
+
+        def no_env(ctx):
+            kw = orig(ctx)
+            kw["env"] = None
+            return kw
+        app._light_kwargs = no_env
+    elif ablate == "lights":
+        for nd in app.info.nodes:
+            if nd.light is not None and \
+                    app.info.lights[nd.light].type != 0:
+                nd.light = None
     app.swapchain_updated(1920, 1080)
     t0 = time.monotonic_ns()
     if seq:
