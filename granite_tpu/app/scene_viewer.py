@@ -91,6 +91,10 @@ class ViewerConfig:
     # Specular-IBL/skybox fetch through the tile-rect sampler (follows
     # materialTileSampler unless forced here).
     env_tile_sampler: bool = True
+    # ONE fused Pallas shade kernel for the whole lighting expression
+    # (ops/shade_fused): "auto" uses it on TPU whenever eligible
+    # (64-px cluster tiles, <=32 light capacity); true/false force it.
+    fused_shade: str = "auto"
     # MeshEncoding (resource_manager.hpp:85-92): "meshlet" re-encodes
     # static meshes through the MLT2 codec at load and decodes at
     # instantiation (MeshletDecoded); "classic" keeps raw SoA.
@@ -150,6 +154,7 @@ class ViewerConfig:
             "textureStreaming": "texture_streaming",
             "materialTileSampler": "material_tile_sampler",
             "envTileSampler": "env_tile_sampler",
+            "fusedShade": "fused_shade",
             "meshEncoding": "mesh_encoding",
             "shadowTermHalfRes": "shadow_term_half_res",
             "textureBudgetMB": "texture_budget_mb",
@@ -1207,6 +1212,25 @@ class SceneViewerApplication(Application):
                       cluster_shadows=cs)
         return kw
 
+    def _shade_fn(self, kw):
+        """Select the classic XLA shade path or the fused Pallas kernel
+        (ops/shade_fused) per the fusedShade knob + eligibility."""
+        from ..renderer.scene_renderer import (
+            shade_surface, shade_surface_fused)
+        fs = self.config.fused_shade
+        import jax as _jax
+        want = (fs is True or str(fs).lower() == "true"
+                or (str(fs).lower() == "auto"
+                    and _jax.default_backend() != "cpu"))
+        if not want:
+            return shade_surface
+        lights = kw.get("lights")
+        if lights is not None and lights.pos.shape[0] > 32:
+            return shade_surface   # single tile-mask word in-kernel
+        if kw.get("cluster_tile", 64) != 64:
+            return shade_surface
+        return shade_surface_fused
+
     def _motion_vectors(self, ctx, surf, depth):
         from ..renderer.scene_renderer import motion_vectors
         p = ctx.params
@@ -1320,7 +1344,8 @@ class SceneViewerApplication(Application):
     def _forward_pass(self, ctx):
         surf, depth = self._raster_surface(ctx)
         surf = self._apply_decals(ctx, surf)
-        color = shade_surface(surf, ctx.params, **self._light_kwargs(ctx))
+        kw = self._light_kwargs(ctx)
+        color = self._shade_fn(kw)(surf, ctx.params, **kw)
         color = self._apply_transparent(ctx, color, depth)
         color = self._apply_fog(ctx, color, depth)
         out = {"hdr": color, "depth-main": depth}
@@ -1357,7 +1382,7 @@ class SceneViewerApplication(Application):
             from ..ops.ssao import upsample_ao
             kw["ao"] = upsample_ao(ctx.input("ssao-output"),
                                    self._rh, self._rw)
-        color = shade_surface(surf, ctx.params, **kw)
+        color = self._shade_fn(kw)(surf, ctx.params, **kw)
         # Transparent queue forward-renders even in deferred (the
         # reference does the same); XLA CSE merges the re-derived
         # transforms with the G-buffer pass inside the fused program.

@@ -758,6 +758,118 @@ def fused_raster_surface(scene: PackedScene, clip, object_mask,
     return surf, planes[PLANE_DEPTH]
 
 
+def compute_shadow_term(pos, covered, shadow_map, shadow_uv_mat,
+                        pcf_wide: bool = False,
+                        shadow_tiled: bool = False, shadow_strips=None,
+                        shadow_half_res: bool = False):
+    """Directional shadow term for every pixel — PCF / wide-PCF / VSM /
+    tiled-VSM / cascades (lighting_resources.h get_directional_shadow_
+    term; shared by the classic and fused shade paths)."""
+    if shadow_map is None:
+        return 1.0
+    if shadow_map.ndim == 3 and shadow_map.shape[-1] == 2:
+        # (S, S, 2) VSM moments (vsm.h path).
+        if shadow_tiled:
+            # Pallas tile-rect moment fetch (ops/tile_sampler):
+            # ~16 ms XLA gather -> ~1-2 ms rect DMA + weighted
+            # one-hot matmul; bit-exact where tiles fit at level 0.
+            # shadow_strips: strip prebaked with the static shadow
+            # cache (rebuilding ~300 MB of strip per frame costs
+            # more than the fetch saves).
+            from ..ops.shadow import sample_vsm_shadow_tiled
+            return sample_vsm_shadow_tiled(
+                shadow_map, shadow_uv_mat, pos, covered,
+                strips=shadow_strips)
+        from ..ops.shadow import sample_vsm_shadow
+        return sample_vsm_shadow(shadow_map, shadow_uv_mat, pos)
+    if shadow_map.ndim == 3:
+        # (C, S, S) cascades with (C, 4, 4) uv transforms.
+        from ..ops.shadow import sample_cascaded_shadow
+        return sample_cascaded_shadow(
+            shadow_map, shadow_uv_mat, pos, wide=pcf_wide)
+    if shadow_half_res and pos.shape[0] % 2 == 0 and \
+            pos.shape[1] % 2 == 0 and pos.shape[0] >= 64:
+        # PCF term at half res + bilinear term upsample: the gather
+        # cost is linear in pixel count (~16 ms at 1080p, the
+        # per-index DMA floor), and the 2x2 PCF term is already a
+        # bilinear blend, so upsampling the term loses little.
+        from ..ops.hdr import resize_bilinear
+        th = sample_directional_shadow(
+            shadow_map, shadow_uv_mat, pos[::2, ::2], wide=pcf_wide)
+        return resize_bilinear(
+            th[..., None], pos.shape[0], pos.shape[1])[..., 0]
+    return sample_directional_shadow(
+        shadow_map, shadow_uv_mat, pos, wide=pcf_wide)
+
+
+def compute_env_products(surf, params, env, width: int, height: int,
+                         background, vol_diffuse=None):
+    """Gather-bound environment products for the fused shade kernel:
+    (irradiance (H,W,3) with the lambert 1/pi pre-applied, spec_env
+    (H,W,3), background (H,W,3)) — the same fetch paths shade_surface
+    uses inline (SH/GI diffuse, prefiltered specular, sky)."""
+    from ..ops.pbr import _normalize as _nrm
+    from .environment import eval_sh9, sample_environment
+    n = surf["normal"]
+    pos = surf["pos"]
+    if vol_diffuse is not None:
+        from .volumetric_diffuse import sample_volumetric_diffuse
+        irr = sample_volumetric_diffuse(
+            vol_diffuse["volumes"], pos, n, vol_diffuse["fallback"])
+    else:
+        irr = jnp.maximum(eval_sh9(env["sh"], n), 0.0) / jnp.pi
+    v = params["camera_pos"] - pos
+    v = v / jnp.sqrt(jnp.maximum((v * v).sum(-1, keepdims=True), 1e-20))
+    nov = jnp.clip((n * v).sum(-1), 0.0, 1.0)
+    refl = 2.0 * nov[..., None] * n - v
+    lod = surf["roughness"] * (env["levels"] - 1.0)
+    if background is None and width and height:
+        px, py = R.pixel_centers(width, height)
+        ivp = params["inv_view_proj"]
+        ndc = jnp.stack([2 * (px + 0.0) / width - 1,
+                         2 * (py + 0.0) / height - 1,
+                         jnp.full_like(px, 0.5),
+                         jnp.ones_like(px)], axis=-1)
+        wp = ndc @ ivp.T
+        view_dirs = wp[..., :3] / jnp.where(
+            jnp.abs(wp[..., 3:4]) < 1e-20, 1e-20, wp[..., 3:4]) \
+            - params["camera_pos"]
+        cov = surf["covered"]
+        tiled = env.get("tiled")
+        if env.get("sky_params"):
+            from .environment import analytic_sky
+            background = analytic_sky(view_dirs, **env["sky_params"])
+            if tiled is not None:
+                from .environment import sample_environment_tiled
+                spec_env = sample_environment_tiled(
+                    tiled, refl, lod, covered=cov)
+            else:
+                from ..ops.hdr import resize_bilinear
+                spec_h = sample_environment(
+                    env["strips"], refl[::2, ::2], lod[::2, ::2])
+                spec_env = resize_bilinear(spec_h, height, width)
+        else:
+            dirs = jnp.where(cov[..., None], refl, view_dirs)
+            lod = jnp.where(cov, lod, 0.0)
+            if tiled is not None:
+                from .environment import sample_environment_tiled
+                env_sample = sample_environment_tiled(tiled, dirs, lod)
+            else:
+                env_sample = sample_environment(env["strips"], dirs, lod)
+            spec_env = env_sample
+            background = env_sample
+    elif env.get("tiled") is not None:
+        from .environment import sample_environment_tiled
+        spec_env = sample_environment_tiled(env["tiled"], refl, lod,
+                                            covered=surf["covered"])
+    else:
+        spec_env = sample_environment(env["strips"], refl, lod)
+    if background is None:
+        background = jnp.zeros(3, jnp.float32)
+    background = jnp.broadcast_to(background, surf["normal"].shape)
+    return irr, spec_env, background
+
+
 def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
                   lights=None, z_masks=None, tile_masks=None,
                   width: int = 0, height: int = 0,
@@ -779,46 +891,10 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
     of the flat 0.05 ambient, and a view-ray skybox for background pixels
     when `background` is None."""
     pos = surf["pos"]
-    shadow_term = 1.0
-    if shadow_map is not None:
-        if shadow_map.ndim == 3 and shadow_map.shape[-1] == 2:
-            # (S, S, 2) VSM moments (vsm.h path).
-            if shadow_tiled:
-                # Pallas tile-rect moment fetch (ops/tile_sampler):
-                # ~16 ms XLA gather -> ~1-2 ms rect DMA + weighted
-                # one-hot matmul; bit-exact where tiles fit at level 0.
-                # shadow_strips: strip prebaked with the static shadow
-                # cache (rebuilding ~300 MB of strip per frame costs
-                # more than the fetch saves).
-                from ..ops.shadow import sample_vsm_shadow_tiled
-                shadow_term = sample_vsm_shadow_tiled(
-                    shadow_map, shadow_uv_mat, pos, surf["covered"],
-                    strips=shadow_strips)
-            else:
-                from ..ops.shadow import sample_vsm_shadow
-                shadow_term = sample_vsm_shadow(shadow_map, shadow_uv_mat,
-                                                pos)
-        elif shadow_map.ndim == 3:
-            # (C, S, S) cascades with (C, 4, 4) uv transforms.
-            from ..ops.shadow import sample_cascaded_shadow
-            shadow_term = sample_cascaded_shadow(
-                shadow_map, shadow_uv_mat, pos, wide=pcf_wide)
-        elif shadow_half_res and pos.shape[0] % 2 == 0 and \
-                pos.shape[1] % 2 == 0 and pos.shape[0] >= 64:
-            # PCF term at half res + bilinear term upsample: the gather
-            # cost is linear in pixel count (~16 ms at 1080p, the
-            # per-index DMA floor), and the 2x2 PCF term is already a
-            # bilinear blend, so upsampling the term loses little.
-            from ..ops.hdr import resize_bilinear
-            th = sample_directional_shadow(
-                shadow_map, shadow_uv_mat, pos[::2, ::2],
-                wide=pcf_wide)
-            shadow_term = resize_bilinear(
-                th[..., None], pos.shape[0], pos.shape[1])[..., 0]
-        else:
-            shadow_term = sample_directional_shadow(
-                shadow_map, shadow_uv_mat, pos, wide=pcf_wide)
-
+    shadow_term = compute_shadow_term(
+        pos, surf["covered"], shadow_map, shadow_uv_mat,
+        pcf_wide=pcf_wide, shadow_tiled=shadow_tiled,
+        shadow_strips=shadow_strips, shadow_half_res=shadow_half_res)
     ambient_factor = jnp.ones_like(surf["metallic"]) if ao is None else ao
     color = compute_lighting(
         surf["base_color"], surf["normal"], surf["metallic"],
@@ -927,6 +1003,136 @@ def shade_surface(surf: dict, params, shadow_map=None, shadow_uv_mat=None,
         # above; without an env (or pixel grid) the clear color is black.
         background = jnp.zeros(3, jnp.float32)
     return jnp.where(surf["covered"][..., None], color, background)
+
+
+def shade_surface_fused(surf: dict, params, shadow_map=None,
+                        shadow_uv_mat=None, lights=None, z_masks=None,
+                        tile_masks=None, width: int = 0, height: int = 0,
+                        background=None, pcf_wide: bool = False,
+                        z_near: float = 0.1, z_far: float = 1000.0,
+                        cluster_tile: int = 64, env=None,
+                        cluster_shadows=None, ao=None, vol_diffuse=None,
+                        shadow_tiled: bool = False, shadow_strips=None,
+                        shadow_half_res: bool = False,
+                        z_slices: int = 32, view=None,
+                        interpret: bool | None = None):
+    """shade_surface through the fused Pallas kernel
+    (ops/shade_fused.py): the gather-bound products (shadow term, env
+    fetch, top-K atlas terms) are computed with the same one-gather
+    paths, then the ENTIRE per-pixel lighting expression runs in one
+    VMEM-tiled pass.  Numerically locked against shade_surface by
+    tests/test_shade_fused.py."""
+    from ..ops.shade_fused import (
+        P_FIXED, fused_light_table, shade_planes_fused)
+    assert cluster_tile == 64, "fused shade kernel assumes 64-px tiles"
+    if view is None and lights is not None:
+        view = params["view"]
+    if z_masks is not None:
+        z_slices = z_masks.shape[0]
+    H, W = surf["metallic"].shape
+    pos = surf["pos"]
+    shadow_term = compute_shadow_term(
+        pos, surf["covered"], shadow_map, shadow_uv_mat,
+        pcf_wide=pcf_wide, shadow_tiled=shadow_tiled,
+        shadow_strips=shadow_strips, shadow_half_res=shadow_half_res)
+    shadow_term = jnp.broadcast_to(
+        jnp.asarray(shadow_term, jnp.float32), (H, W))
+
+    has_env = env is not None
+    if has_env:
+        irr, spec_env, bg = compute_env_products(
+            surf, params, env, width, height, background,
+            vol_diffuse=vol_diffuse)
+    else:
+        irr = spec_env = jnp.zeros((H, W, 3), jnp.float32)
+        bg = jnp.broadcast_to(
+            jnp.zeros(3, jnp.float32) if background is None
+            else jnp.asarray(background, jnp.float32), (H, W, 3))
+
+    has_lights = lights is not None
+    k_shadow = 0
+    slot_planes = []
+    if has_lights and cluster_shadows is not None:
+        # pixel_masks only feed the top-K selection (the kernel culls
+        # lights itself); same select-tree construction as
+        # shade_clustered.
+        from ..ops.clusterer import shade_clustered  # noqa: F401
+        from ..ops.light_shadows import topk_shadow_terms
+        zs = z_masks.shape[0]
+        log_ratio = np.log(z_far / z_near)
+        vz = -(pos @ jnp.asarray(view)[2, :3].T + jnp.asarray(view)[2, 3])
+        s = jnp.clip(jnp.log(jnp.maximum(vz, z_near) / z_near)
+                     / log_ratio * zs, 0, zs - 1).astype(jnp.int32)
+        zsel = z_masks[0]
+        for k in range(1, zs):
+            zsel = jnp.where((s == k)[..., None], z_masks[k], zsel)
+        tiled = jnp.repeat(jnp.repeat(tile_masks, cluster_tile, axis=0),
+                           cluster_tile, axis=1)[:H, :W]
+        pixel_masks = zsel & tiled
+        cs = cluster_shadows
+        slots, terms = topk_shadow_terms(
+            cs["atlas_flat"], cs["vps_np"], cs["size"],
+            int(cs["num_lights"]), cs["light_slice_np"],
+            cs["light_kind_np"], cs["light_pos_np"], pixel_masks,
+            pos, k=cs.get("k", 4), bias=cs.get("bias", 2e-3))
+        k_shadow = slots.shape[0]
+        slot_planes = [slots[j].astype(jnp.float32)
+                       for j in range(k_shadow)] + \
+                      [terms[j] for j in range(k_shadow)]
+
+    has_ao = ao is not None
+    zero = jnp.zeros((H, W), jnp.float32)
+    planes = [
+        surf["base_color"][..., 0], surf["base_color"][..., 1],
+        surf["base_color"][..., 2],
+        surf["normal"][..., 0], surf["normal"][..., 1],
+        surf["normal"][..., 2],
+        surf["metallic"], surf["roughness"],
+        pos[..., 0], pos[..., 1], pos[..., 2],
+        surf["emissive"][..., 0], surf["emissive"][..., 1],
+        surf["emissive"][..., 2],
+        surf["covered"].astype(jnp.float32),
+        shadow_term,
+        spec_env[..., 0], spec_env[..., 1], spec_env[..., 2],
+        bg[..., 0], bg[..., 1], bg[..., 2],
+        (ao if has_ao else zero),
+        irr[..., 0], irr[..., 1], irr[..., 2],
+    ]
+    assert len(planes) == P_FIXED
+    planes += slot_planes
+    ph = -(-H // 32) * 32
+    pw = -(-W // 128) * 128
+    stacked = jnp.stack([jnp.asarray(p, jnp.float32) for p in planes])
+    stacked = jnp.pad(stacked, ((0, 0), (0, ph - H), (0, pw - W)))
+
+    uni = jnp.zeros((8, 128), jnp.float32)
+    uni = uni.at[0, 0:3].set(jnp.asarray(params["camera_pos"],
+                                         jnp.float32))
+    uni = uni.at[0, 3:6].set(jnp.asarray(params["sun_dir"], jnp.float32))
+    uni = uni.at[1, 0:3].set(jnp.asarray(params["sun_color"],
+                                         jnp.float32))
+    if has_lights:
+        uni = uni.at[0, 6].set(lights.count.astype(jnp.float32))
+        vrow = jnp.asarray(view)[2]
+        uni = uni.at[0, 9:13].set(vrow.astype(jnp.float32))
+        ltbl = fused_light_table(lights, jnp.asarray(view), z_near,
+                                 z_far, z_slices)
+        tmw = pw // 64
+        tmh = -(-ph // 64)
+        tm = jax.lax.bitcast_convert_type(
+            tile_masks[..., 0] if tile_masks.ndim == 3 else tile_masks,
+            jnp.int32)
+        tm = jnp.pad(tm, ((0, max(tmh - tm.shape[0], 0)),
+                          (0, max(tmw - tm.shape[1], 0))))[:tmh, :tmw]
+    else:
+        ltbl = jnp.zeros((1, 128), jnp.float32)
+        tm = jnp.zeros((1, 2), jnp.int32)
+
+    out = shade_planes_fused(
+        stacked, ltbl, tm, uni, H, W, k_shadow=k_shadow,
+        has_env=has_env, has_lights=has_lights, has_ao=has_ao,
+        ambient=not has_env, interpret=interpret)
+    return jnp.moveaxis(out, 0, -1)
 
 
 def motion_vectors(prev_pos, covered, depth, prev_vp_uv, cam_reproj,
