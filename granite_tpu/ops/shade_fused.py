@@ -323,6 +323,11 @@ def shade_planes_fused(planes, lights_tbl, tile_masks, uniforms,
     tx = pw // TILE_W
     ty = ph // TILE_H
     n_light_cap = lights_tbl.shape[0]
+    assert n_light_cap <= 32, "one tile-mask word per 64-px tile"
+    # SMEM blocks want sublane-divisible rows (tile_sampler lesson).
+    if tile_masks.shape[0] % 8:
+        tile_masks = jnp.pad(
+            tile_masks, ((0, 8 - tile_masks.shape[0] % 8), (0, 0)))
     kern = functools.partial(
         _shade_kernel, tiles_x=tx, n_light_cap=n_light_cap,
         k_shadow=k_shadow, has_env=has_env, has_lights=has_lights,
@@ -337,8 +342,11 @@ def shade_planes_fused(planes, lights_tbl, tile_masks, uniforms,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lights_tbl.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            # Dynamic per-tile scalar reads (tmasks[ty//2, tx*2]) must
+            # come from SMEM on Mosaic (the tile_sampler info-table
+            # lesson); the table is tiny (<=0.5K words at 1080p).
             pl.BlockSpec(tile_masks.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(uniforms.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
