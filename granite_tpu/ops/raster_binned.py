@@ -71,8 +71,11 @@ _UNION_SHIFT = 11          # tile ids < 2048 (ntiles < 2048 asserted)
 # Quantized-z bits folded into the bin sort key: ONE argsort orders by
 # (bin, front-to-back) instead of a z pre-sort + stable bin sort (XLA
 # TPU sort is expensive: ~25 ms at 260k keys).
-_ZQ_BITS = 20
+_ZQ_BITS = 19
 _ZQ_MAX = (1 << _ZQ_BITS) - 1
+# Early-z bound padding: the sort key quantizes zmax to 2^-_ZQ_BITS, so
+# a later row can exceed a chunk's bound by one quantum.
+ZQ_PAD = 2.0 ** -(_ZQ_BITS - 1)
 
 
 def _zq_key(zmax: jax.Array) -> jax.Array:
@@ -160,7 +163,9 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
                   extra=None):
     """Sort-based binning (one key per small triangle — see module doc).
 
-    Returns (packets_sorted (T+CHUNK, 128), starts (ntiles+1,),
+    Returns (packets_sorted (T+CHUNK, 128), starts (2*ntiles+1,) —
+    EXACT single-tile bins at [0, ntiles), WINDOW multi-tile bins at
+    [ntiles, 2*ntiles),
     huge_rows ((huge_cap*ty)+CHUNK, 128) row-expanded front-to-back,
     huge_row_starts (ty+1,), stats dict).
 
@@ -220,10 +225,24 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     small = valid & (tri_span_w <= span_w) & (tri_span_h <= span_h)
     huge = valid & ~small
 
-    # --- small: ONE key per triangle = its top-left covered bin ------------
+    # --- small: ONE key per triangle ---------------------------------------
+    # TWO sub-populations ride one sort (round-3 window-redundancy fix):
+    #   EXACT [0, ntiles): triangles covering exactly ONE tile — keyed
+    #     at that tile; only that tile ever streams them.
+    #   WINDOW [ntiles, 2*ntiles): multi-tile triangles keyed at their
+    #     top-left covered tile; tiles scan the span_h x span_w window.
+    # Most triangles in a dense scene are single-tile, so the window
+    # walk (up to span_h*span_w redundant streams per packet) shrinks
+    # to the small multi-tile population — measured round 3: the window
+    # scan dominated the 148 ms/frame gbuffer rung at 1080p.
+    single = small & (tri_span_w == 1) & (tri_span_h == 1)
+    stats["exact_entries"] = single.sum().astype(jnp.int32)
+    stats["window_entries"] = (small & ~single).sum().astype(jnp.int32)
+    bin_id = ty0 * tx + tx0
+    pop_bin = jnp.where(single, bin_id, ntiles + bin_id)
     keys = jnp.where(small,
-                     ((ty0 * tx + tx0) << _ZQ_BITS) | zq,
-                     ntiles << _ZQ_BITS).astype(jnp.int32)
+                     (pop_bin << _ZQ_BITS) | zq,
+                     (2 * ntiles) << _ZQ_BITS).astype(jnp.int32)
     order = jnp.argsort(keys, stable=False)
     sorted_keys = keys[order] >> _ZQ_BITS
 
@@ -234,9 +253,9 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
         [packets_sorted, jnp.zeros((CHUNK, PACKET_F32), jnp.float32)])
     packets_sorted = _pack_chunk_unions(
         packets_sorted, tx0[order], ty0[order], tx1[order], ty1[order],
-        sorted_keys < ntiles)
+        sorted_keys < 2 * ntiles)
     starts = jnp.searchsorted(sorted_keys,
-                              jnp.arange(ntiles + 1, dtype=jnp.int32),
+                              jnp.arange(2 * ntiles + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)
 
     # --- huge: fixed-capacity compaction + PER-ROW lists --------------------
@@ -408,7 +427,7 @@ def _raster_tile_kernel(starts_ref, huge_starts_ref,     # scalar prefetch
                 # bound — conservative.  The sort key quantizes zmax to
                 # 2^-20, so a later row may exceed this bound by one
                 # quantum: pad the bound by it.
-                zb = jnp.max(c[:, COL_ZMAX]) + jnp.float32(2.0 ** -19)
+                zb = jnp.max(c[:, COL_ZMAX]) + jnp.float32(ZQ_PAD)
                 stop = zb <= jnp.min(depth_s[:])
                 return (i + 1, stop)
 
@@ -420,8 +439,15 @@ def _raster_tile_kernel(starts_ref, huge_starts_ref,     # scalar prefetch
             def _():
                 get_dma(final_i % 2, final_i).wait()
 
-    # A triangle overlapping this tile was binned at its top-left covered
-    # tile, which lies within the (span_w, span_h) window up-left of us.
+    # EXACT population first: single-tile triangles keyed at THIS tile
+    # (bins [0, ntiles) of the composite starts array).
+    ntiles_ = tiles_x * tiles_y
+    b0 = ty * tiles_x + tx
+    run_range(packets_hbm, starts_ref[b0],
+              starts_ref[b0 + 1] - starts_ref[b0])
+    # WINDOW population: a multi-tile triangle overlapping this tile was
+    # binned at its top-left covered tile, which lies within the
+    # (span_w, span_h) window up-left of us (bins [ntiles, 2*ntiles)).
     # Each bin is ONE contiguous packet range, internally front-to-back —
     # per-bin ranges (not whole window rows) keep the early-z bound
     # monotone within every run_range call.
@@ -432,7 +458,7 @@ def _raster_tile_kernel(starts_ref, huge_starts_ref,     # scalar prefetch
 
             @pl.when((by >= 0) & (bx >= 0))
             def _(by=by, bx=bx):
-                b = by * tiles_x + bx
+                b = ntiles_ + by * tiles_x + bx
                 run_range(packets_hbm, starts_ref[b],
                           starts_ref[b + 1] - starts_ref[b])
 

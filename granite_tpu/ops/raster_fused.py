@@ -112,9 +112,9 @@ def _fused_kernel(starts_ref, huge_starts_ref,
                   planes_out,
                   pkt_scratch, dma_sems, depth_s, win_s, acc_s,
                   stops_smem,
-                  *, tiles_x: int, span_w: int, span_h: int,
-                  has_prev: bool):
-    from .raster_binned import COL_ZMAX, MAX_ENTRIES_PER_TILE
+                  *, tiles_x: int, n_tiles: int, span_w: int,
+                  span_h: int, has_prev: bool):
+    from .raster_binned import COL_ZMAX, MAX_ENTRIES_PER_TILE, ZQ_PAD
     tile = pl.program_id(0)
     ty = tile // tiles_x
     tx = tile % tiles_x
@@ -131,11 +131,13 @@ def _fused_kernel(starts_ref, huge_starts_ref,
     HUGE_BASE = packets_hbm.shape[0]
 
     def ranges():
-        """(ref, start, count, gid_base, slot) per window bin + huge.
+        """(wy, wx, slot) per window bin; slot EXACT_SLOT is the
+        single-tile exact bin, slot HUGE_SLOT the huge stream.
 
-        A triangle overlapping this tile was binned at its top-left
-        covered tile — within the (span_w, span_h) window up-left.  Each
-        bin is one contiguous, front-to-back packet range."""
+        A multi-tile triangle overlapping this tile was binned at its
+        top-left covered tile — within the (span_w, span_h) window
+        up-left; single-tile triangles live in the exact bins [0,
+        ntiles) of the composite starts array (bin_triangles)."""
         out = []
         slot = 0
         for wy in range(span_h):
@@ -236,13 +238,22 @@ def _fused_kernel(starts_ref, huge_starts_ref,
         # EARLY-Z (see raster_binned): front-to-back order makes the
         # chunk's conservative bound monotone within the bin range
         # (padded by one zq quantum — the sort key rounds zmax).
-        return (jnp.max(c[:, COL_ZMAX]) + jnp.float32(2.0 ** -19)) \
+        return (jnp.max(c[:, COL_ZMAX]) + jnp.float32(ZQ_PAD)) \
             <= jnp.min(depth_s[:])
 
+    EXACT_SLOT = span_h * span_w
+    HUGE_SLOT = EXACT_SLOT + 1
+    # EXACT population: single-tile triangles keyed at THIS tile.
+    e_start = starts_ref[ty * tiles_x + tx]
+    e_count = starts_ref[ty * tiles_x + tx + 1] - e_start
+    done = walk(packets_hbm, e_start, e_count, e_start, raster_chunk,
+                jnp.int32(MAX_ENTRIES_PER_TILE // CHUNK))
+    stops_smem[EXACT_SLOT] = done
+    # WINDOW population (bins offset by ntiles in the composite array).
     for wy, wx, slot in ranges():
         by = ty - wy
         bx = tx - wx
-        b = jnp.maximum(by, 0) * tiles_x + jnp.maximum(bx, 0)
+        b = n_tiles + jnp.maximum(by, 0) * tiles_x + jnp.maximum(bx, 0)
         start = starts_ref[b]
         count = jnp.where((by >= 0) & (bx >= 0),
                           starts_ref[b + 1] - start, 0)
@@ -255,7 +266,7 @@ def _fused_kernel(starts_ref, huge_starts_ref,
     h_count = huge_starts_ref[ty + 1] - h_start
     done = walk(huge_hbm, h_start, h_count, HUGE_BASE + h_start,
                 raster_chunk, jnp.int32(MAX_ENTRIES_PER_TILE // CHUNK))
-    stops_smem[span_h * span_w] = done
+    stops_smem[HUGE_SLOT] = done
 
     # ---- PASS 2: exact-id one-hot payload accumulation ------------------
     # Winners can only live in chunks pass 1 visited (early-stopped
@@ -280,10 +291,15 @@ def _fused_kernel(starts_ref, huge_starts_ref,
 
     @pl.when(any_win)
     def _():
+        e_start = starts_ref[ty * tiles_x + tx]
+        e_count = starts_ref[ty * tiles_x + tx + 1] - e_start
+        walk(packets_hbm, e_start, e_count, e_start, payload_chunk,
+             stops_smem[EXACT_SLOT])
         for wy, wx, slot in ranges():
             by = ty - wy
             bx = tx - wx
-            b = jnp.maximum(by, 0) * tiles_x + jnp.maximum(bx, 0)
+            b = n_tiles + jnp.maximum(by, 0) * tiles_x \
+                + jnp.maximum(bx, 0)
             start = starts_ref[b]
             count = jnp.where((by >= 0) & (bx >= 0),
                               starts_ref[b + 1] - start, 0)
@@ -292,7 +308,7 @@ def _fused_kernel(starts_ref, huge_starts_ref,
         h_start = huge_starts_ref[ty]
         h_count = huge_starts_ref[ty + 1] - h_start
         walk(huge_hbm, h_start, h_count, HUGE_BASE + h_start,
-             payload_chunk, stops_smem[span_h * span_w])
+             payload_chunk, stops_smem[HUGE_SLOT])
 
     v = acc_s[:].reshape(EXTRA_COLS, TILE_H, TILE_W)
     # Payload columns relative to PAYLOAD_LO (=21):
@@ -395,7 +411,8 @@ def rasterize_resolve(setup: TriangleSetup, extra, width: int,
         setup, width, height, huge_cap, span_w=span_w, span_h=span_h,
         extra=payload)
 
-    kernel = functools.partial(_fused_kernel, tiles_x=tx, span_w=span_w,
+    kernel = functools.partial(_fused_kernel, tiles_x=tx,
+                               n_tiles=ntiles, span_w=span_w,
                                span_h=span_h, has_prev=has_prev)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -414,7 +431,7 @@ def rasterize_resolve(setup: TriangleSetup, extra, width: int,
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
             pltpu.VMEM((TILE_H, TILE_W), jnp.int32),
             pltpu.VMEM((EXTRA_COLS, TILE_H * TILE_W), jnp.float32),
-            pltpu.SMEM((span_h * span_w + 1,), jnp.int32),
+            pltpu.SMEM((span_h * span_w + 2,), jnp.int32),
         ],
     )
     planes = pl.pallas_call(

@@ -90,6 +90,34 @@ def test_binning_ranges():
     assert (counts > 0).sum() == 1
 
 
+def test_population_split():
+    """Single-tile triangles land in the EXACT bins [0, ntiles); only
+    multi-tile smalls populate the WINDOW bins (the round-3 redundant-
+    window-streaming fix)."""
+    ntiles = (W // 128) * (H // 32)
+    clip = jnp.asarray(np.array([
+        # tiny triangle inside tile (1, 0): pixels x<128, y 32..63
+        [-0.9, -0.2, 0.5, 1], [-0.7, -0.2, 0.5, 1], [-0.8, -0.1, 0.5, 1],
+        # wide triangle spanning both tile columns of row 0
+        [-0.8, -0.9, 0.5, 1], [0.8, -0.9, 0.5, 1], [0.0, -0.6, 0.5, 1],
+    ], np.float32))
+    idx = jnp.asarray(np.array([[0, 1, 2], [3, 4, 5]], np.int32))
+    setup = setup_triangles(clip, idx, W, H, cull_mode=CULL_NONE)
+    packets, starts, _, _, stats = bin_triangles(setup, W, H)
+    s = np.asarray(starts)
+    assert len(s) == 2 * ntiles + 1
+    assert int(stats["exact_entries"]) == 1
+    assert int(stats["window_entries"]) == 1
+    exact_counts = np.diff(s[: ntiles + 1])
+    window_counts = np.diff(s[ntiles:])
+    assert exact_counts.sum() == 1 and (exact_counts > 0).sum() == 1
+    assert window_counts.sum() == 1
+    # and the rendered result still matches the reference
+    d_ref, t_ref = rasterize(setup, W, H)
+    d_bin, t_bin = rasterize_binned(setup, W, H, interpret=True)
+    assert np.array_equal(np.asarray(t_ref), np.asarray(t_bin))
+
+
 @pytest.mark.slow
 def test_compaction_equivalence():
     # max_visible compaction with enough capacity is bit-identical.
