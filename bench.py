@@ -17,6 +17,20 @@ import time
 import types
 
 
+def image_gate(img):
+    """(ok, rgb plane means) for a rendered (H, W, 4) backbuffer.
+
+    A black RGBA frame reads mean 63.75 through the alpha channel — the
+    rgb PLANES are the only honest black/NaN signal (CLAUDE.md rule
+    from the round-2 incident, automated per VERDICT weak #5)."""
+    import numpy as np
+    rgb = np.asarray(img, np.float32)[..., :3]
+    means = [round(float(m), 2) for m in rgb.mean(axis=(0, 1))]
+    ok = bool(np.isfinite(rgb).all()
+              and all(1.0 < m < 250.0 for m in means))
+    return ok, means
+
+
 def bench_deferred_hdr(width=1920, height=1080, frames=12):
     import json as _json
     import tempfile
@@ -60,18 +74,25 @@ def bench_deferred_hdr(width=1920, height=1080, frames=12):
     dt_ms = (time.monotonic_ns() - t0) / 1e6 / frames
     print(json.dumps({"compileTimeS": round(compile_s, 1)},
                      ), file=sys.stderr)
+    # Hardware image-validity gate (the round-2 black-frame incident,
+    # automated): rgb-plane means + NaN scan of the timed frame, one
+    # untimed readback.  A bench number for a broken image is worse
+    # than no number.
+    image_ok, means = image_gate(np.asarray(out))
     return {
         "metric": "frame_time_ms_deferred_hdr_sponza_class_1080p",
         "value": round(dt_ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(dt_ms / 10.0, 4),
+        "imageOk": image_ok,
+        "planeMeans": means,
     }
 
 
 def main() -> int:
     result = bench_deferred_hdr()
     print(json.dumps(result))
-    return 0
+    return 0 if result.get("imageOk", True) else 1
 
 
 if __name__ == "__main__":

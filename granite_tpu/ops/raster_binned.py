@@ -377,7 +377,8 @@ def _raster_tile_kernel(starts_ref, huge_starts_ref,     # scalar prefetch
         # [start, start+count) are masked like the tail.
         astart = (start // CHUNK) * CHUNK
         head = start - astart
-        n_chunks = pl.cdiv(count + head, CHUNK)
+        # Empty ranges issue no DMA (cdiv(head, CHUNK) can be 1).
+        n_chunks = jnp.where(count > 0, pl.cdiv(count + head, CHUNK), 0)
 
         def get_dma(buf, i):
             return pltpu.make_async_copy(

@@ -159,8 +159,12 @@ def _fused_kernel(starts_ref, huge_starts_ref,
         astart = (start // CHUNK) * CHUNK
         head = start - astart
         agid = gid_base - head
-        n_chunks = jnp.minimum(pl.cdiv(count + head, CHUNK),
-                               n_chunks_cap)
+        # Empty ranges must issue NO DMA (cdiv(head, CHUNK) can be 1,
+        # and a winner-window start for an empty window is a sentinel
+        # far outside the array).
+        n_chunks = jnp.where(count > 0,
+                             jnp.minimum(pl.cdiv(count + head, CHUNK),
+                                         n_chunks_cap), 0)
 
         def get_dma(buf, i):
             return pltpu.make_async_copy(
@@ -277,6 +281,17 @@ def _fused_kernel(starts_ref, huge_starts_ref,
     idx_flat = win_s[:].reshape(1, TILE_H * TILE_W)        # (1, P)
     any_win = jnp.max(win_s[:]) >= 0
 
+    def winner_window(start, count):
+        """Tightest [row, row+count) window of this range's WINNING
+        global ids — pass 2 only needs chunks containing winners, and
+        the front-to-back order clusters them at the range head."""
+        w = win_s[:]
+        inr = (w >= start) & (w < start + count)
+        big = jnp.int32(1 << 30)
+        wmin = jnp.min(jnp.where(inr, w, big))
+        wmax = jnp.max(jnp.where(inr, w, -1))
+        return wmin, jnp.maximum(wmax - wmin + 1, 0)
+
     def payload_chunk(i, c, gid0, hit_tile):
         @pl.when(hit_tile)
         def _():
@@ -293,7 +308,8 @@ def _fused_kernel(starts_ref, huge_starts_ref,
     def _():
         e_start = starts_ref[ty * tiles_x + tx]
         e_count = starts_ref[ty * tiles_x + tx + 1] - e_start
-        walk(packets_hbm, e_start, e_count, e_start, payload_chunk,
+        w0, wc = winner_window(e_start, e_count)
+        walk(packets_hbm, w0, wc, w0, payload_chunk,
              stops_smem[EXACT_SLOT])
         for wy, wx, slot in ranges():
             by = ty - wy
@@ -303,12 +319,15 @@ def _fused_kernel(starts_ref, huge_starts_ref,
             start = starts_ref[b]
             count = jnp.where((by >= 0) & (bx >= 0),
                               starts_ref[b + 1] - start, 0)
-            walk(packets_hbm, start, count, start, payload_chunk,
+            w0, wc = winner_window(start, count)
+            walk(packets_hbm, w0, wc, w0, payload_chunk,
                  stops_smem[slot])
         h_start = huge_starts_ref[ty]
         h_count = huge_starts_ref[ty + 1] - h_start
-        walk(huge_hbm, h_start, h_count, HUGE_BASE + h_start,
-             payload_chunk, stops_smem[HUGE_SLOT])
+        # huge gids are offset by HUGE_BASE; map back to array rows.
+        w0, wc = winner_window(HUGE_BASE + h_start, h_count)
+        walk(huge_hbm, w0 - HUGE_BASE, wc, w0, payload_chunk,
+             stops_smem[HUGE_SLOT])
 
     v = acc_s[:].reshape(EXTRA_COLS, TILE_H, TILE_W)
     # Payload columns relative to PAYLOAD_LO (=21):
