@@ -31,7 +31,8 @@ def image_gate(img):
     return ok, means
 
 
-def bench_deferred_hdr(width=1920, height=1080, frames=12):
+def bench_deferred_hdr(width=1920, height=1080, frames=12,
+                       safe: bool = False):
     import json as _json
     import tempfile
     # PCF directional shadows (the reference default).  VSM + the
@@ -41,6 +42,10 @@ def bench_deferred_hdr(width=1920, height=1080, frames=12):
     # more rect rows than the PCF gather costs.
     cfg = {"renderer": "deferred", "hdrBloom": True,
            "shadowMapResolution": 2048}
+    if safe:
+        # Fallback mode (see main): newest Pallas paths off so a kernel
+        # regression can never leave the round without a number.
+        cfg["fusedShade"] = False
     with tempfile.NamedTemporaryFile("w", suffix=".json",
                                      delete=False) as f:
         _json.dump(cfg, f)
@@ -86,11 +91,31 @@ def bench_deferred_hdr(width=1920, height=1080, frames=12):
         "vs_baseline": round(dt_ms / 10.0, 4),
         "imageOk": image_ok,
         "planeMeans": means,
+        "safeMode": safe,
     }
 
 
 def main() -> int:
-    result = bench_deferred_hdr()
+    import os
+    import subprocess
+    safe = os.environ.get("GRANITE_BENCH_SAFE") == "1"
+    try:
+        result = bench_deferred_hdr(safe=safe)
+        failed = not result.get("imageOk", True)
+    except Exception as e:                      # noqa: BLE001
+        print(f"bench run failed: {e!r}", file=sys.stderr)
+        result, failed = None, True
+    if failed and not safe:
+        # A kernel fault must never leave the round without a number
+        # (the round-2 rc=1 lesson): retry ONCE in a fresh process with
+        # the newest Pallas paths disabled.
+        print("retrying in safe mode (fusedShade off)", file=sys.stderr)
+        env = dict(os.environ, GRANITE_BENCH_SAFE="1")
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env)
+        return proc.returncode
+    if result is None:
+        return 1
     print(json.dumps(result))
     return 0 if result.get("imageOk", True) else 1
 
