@@ -50,4 +50,7 @@ tail -3 "$OUT/bench_stderr.log"
 echo "== 5. frame_probe orbit ladder"
 timeout 3000 python tools/frame_probe.py 2>&1 | tail -12 | tee "$OUT/ladder.log"
 
+echo "== 6. rep-diag (bench vs ladder protocol gap)"
+timeout 3000 python tools/rep_diag.py 2>&1 | tail -6 | tee "$OUT/rep_diag.log"
+
 echo "== done; logs in $OUT"
