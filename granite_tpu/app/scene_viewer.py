@@ -95,6 +95,12 @@ class ViewerConfig:
     # (ops/shade_fused): "auto" uses it on TPU whenever eligible
     # (64-px cluster tiles, <=32 light capacity); true/false force it.
     fused_shade: str = "auto"
+    # Visibility-compaction capacity for the fused raster's per-frame
+    # argsort (0 = off).  Culled scenes keep a fraction of triangles;
+    # compacting survivors shrinks the sort by the same factor.
+    # OVERFLOW DROPS GEOMETRY (counted in raster stats) — size it above
+    # the worst-case visible count for the scene.
+    raster_max_visible: int = 0
     # MeshEncoding (resource_manager.hpp:85-92): "meshlet" re-encodes
     # static meshes through the MLT2 codec at load and decodes at
     # instantiation (MeshletDecoded); "classic" keeps raw SoA.
@@ -155,6 +161,7 @@ class ViewerConfig:
             "materialTileSampler": "material_tile_sampler",
             "envTileSampler": "env_tile_sampler",
             "fusedShade": "fused_shade",
+            "rasterMaxVisible": "raster_max_visible",
             "meshEncoding": "mesh_encoding",
             "shadowTermHalfRes": "shadow_term_half_res",
             "textureBudgetMB": "texture_budget_mb",
@@ -1113,10 +1120,12 @@ class SceneViewerApplication(Application):
                 # the per-pixel packed-row gather and interpolation move
                 # into the tile kernel (one-hot MXU fetch).
                 from ..renderer.scene_renderer import fused_raster_surface
+                mv = int(self.config.raster_max_visible)
                 return fused_raster_surface(
                     scene, clip, object_mask, wpos, wnrm, wtan,
                     self._rw, self._rh, lod_bias=self.config.lod_bias,
-                    prev_world_pos=prev_wpos)
+                    prev_world_pos=prev_wpos,
+                    max_visible=mv if mv > 0 else None)
             setup, depth, tri = rasterize_scene(
                 scene, clip, object_mask, self._rw, self._rh)
             surf = surface_attributes(

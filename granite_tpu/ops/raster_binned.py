@@ -196,8 +196,10 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     # not two.)
     zq = _zq_key(packets_full[:, COL_ZMAX])
     stats = {}
-    if extra is not None:
-        assert max_visible is None, "extra payload + compaction unsupported"
+    # (extra payload rides inside packets_full, so compaction scatters
+    # it along with the base columns — the fused raster can cap/compact
+    # too; pass-2's exact-id one-hot matches gids in the COMPACTED
+    # array, which stay unique.)
     if max_visible is not None and max_visible < setup.adj.shape[0]:
         C = max_visible
         vpos = jnp.cumsum(valid.astype(jnp.int32)) - 1

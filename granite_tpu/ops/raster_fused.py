@@ -404,11 +404,16 @@ def rasterize_resolve(setup: TriangleSetup, extra, width: int,
                       height: int, huge_cap: int = 1024,
                       interpret: bool | None = None,
                       span_w: int = SPAN_W, span_h: int = SPAN_H,
-                      has_prev: bool = False):
+                      has_prev: bool = False,
+                      max_visible: int | None = None):
     """Fused binned raster + resolve.  Returns (planes (32, H, W) f32).
 
     extra: (T, 46|55) payload from build_resolve_extra (corners +
     material constants); the offset-folded adjugate is prepended here.
+
+    max_visible: optional visibility-compaction capacity (shrinks the
+    per-frame argsort to the post-cull survivor count; overflow DROPS
+    geometry and is counted in stats — see bin_triangles).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -428,7 +433,7 @@ def rasterize_resolve(setup: TriangleSetup, extra, width: int,
 
     packets, starts, huge_rows, huge_row_starts, stats = bin_triangles(
         setup, width, height, huge_cap, span_w=span_w, span_h=span_h,
-        extra=payload)
+        extra=payload, max_visible=max_visible)
 
     kernel = functools.partial(_fused_kernel, tiles_x=tx,
                                n_tiles=ntiles, span_w=span_w,

@@ -712,7 +712,7 @@ def fused_raster_surface(scene: PackedScene, clip, object_mask,
                          world_pos, world_normal, world_tangent,
                          width: int, height: int, lod_bias: float = 0.0,
                          prev_world_pos=None, bundles=None,
-                         interpret=None):
+                         interpret=None, max_visible: int | None = None):
     """Raster + resolve through the fused Pallas mega-kernel
     (ops/raster_fused.py): zero per-pixel HBM gathers until the texture
     fetch.  Returns (surf dict, depth)."""
@@ -739,7 +739,8 @@ def fused_raster_surface(scene: PackedScene, clip, object_mask,
     planes = rasterize_resolve(setup, extra, width, height,
                                interpret=interpret,
                                span_w=span_w, span_h=span_h,
-                               has_prev=prev_world_pos is not None)
+                               has_prev=prev_world_pos is not None,
+                               max_visible=max_visible)
 
     def ch(base, n):
         return jnp.moveaxis(planes[base:base + n], 0, -1)

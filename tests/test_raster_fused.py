@@ -87,6 +87,14 @@ def test_fused_matches_classic_resolve():
     planes = np.asarray(rasterize_resolve(setup, extra, W, H,
                                           interpret=True, has_prev=True))
 
+    # visibility compaction with enough capacity is bit-identical (the
+    # payload columns ride the same packet scatter)
+    nvis = int(np.asarray(setup.valid).sum())
+    planes_c = np.asarray(rasterize_resolve(
+        setup, extra, W, H, interpret=True, has_prev=True,
+        max_visible=nvis))
+    assert np.array_equal(planes, planes_c)
+
     cov_ref = np.asarray(tri_ref >= 0)
     assert np.array_equal(planes[PLANE_COVERED] > 0.5, cov_ref)
     assert np.allclose(planes[PLANE_DEPTH], np.asarray(depth_ref),
