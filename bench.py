@@ -95,10 +95,41 @@ def bench_deferred_hdr(width=1920, height=1080, frames=12,
     }
 
 
+PROBE_SRC = (
+    "import jax, numpy as np\n"
+    "x = jax.jit(lambda a: a * 2)(np.ones((8, 128), np.float32))\n"
+    "print('probe ok', np.asarray(x[0, 0:1]))\n"
+)
+
+
+def tunnel_probe(timeout_s: float = 120.0) -> bool:
+    """1-op jit in a subprocess, bounded.
+
+    Round-3 lesson (BENCH_r03 rc=124): with the axon tunnel dead, the
+    first real compile hangs/burns ~25 min and the driver's whole
+    window times out with nothing diagnostic recorded.  Probe first;
+    on failure the caller prints a parseable error line and exits
+    non-zero within ~2 min."""
+    import subprocess
+    try:
+        proc = subprocess.run([sys.executable, "-c", PROBE_SRC],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False
+    return "probe ok" in (proc.stdout or "")
+
+
 def main() -> int:
     import os
     import subprocess
     safe = os.environ.get("GRANITE_BENCH_SAFE") == "1"
+    if not safe and not tunnel_probe():
+        # Dead tunnel: fail fast with a diagnostic JSON tail the driver
+        # records, instead of timing out rc=124 with nothing.
+        print(json.dumps({"error": "tunnel-unavailable",
+                          "detail": "1-op jit probe failed in 120s"}))
+        return 1
     try:
         result = bench_deferred_hdr(safe=safe)
         failed = not result.get("imageOk", True)
