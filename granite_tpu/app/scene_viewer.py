@@ -1977,14 +1977,18 @@ class SceneViewerApplication(Application):
         the jitter sequence is a deterministic host-side table — the
         jittered view-proj / jitter-uv per frame ride as stacked params
         (post/temporal.cpp jitter banks)."""
-        static_ok = not self.animation_system.states \
-            and not self.config.show_ui and self.ocean is None \
-            and not self._debug_graph
-        if not static_ok:
+        if self._debug_graph:
+            # Breadcrumb mode is inherently per-frame (host sync + NaN
+            # scan between passes) — chaining would defeat its purpose.
             out = None
             for i in range(n):
                 out = self.render_frame(frame_time, t0 + i * frame_time)
             return out
+        time_varying = bool(self.animation_system.states) \
+            or self.config.show_ui or self.ocean is not None
+        if time_varying:
+            return self._chain_time_varying(frame_time, t0, n,
+                                            camera_orbit)
         cached = getattr(self, "_param_cache", None)
         fresh = cached is not None and \
             cached[0] == self._static_frame_sig(frame_time)
@@ -2043,6 +2047,77 @@ class SceneViewerApplication(Application):
                 stacked["fsr2_jitter"] = jnp.asarray(np.stack(juvs))
         out, self._history, chk = self.graph.execute_chain(
             params, stacked, self._history, chain_n)
+        self._last_chain_checksum = chk
+        return out
+
+    def _chain_time_varying(self, frame_time: float, t0: float, n: int,
+                            camera_orbit: float):
+        """Chain a TIME-VARYING scene (skin/morph/TRS animation, ocean
+        phase, UI overlay) in ONE device dispatch — the PerFrame-ring
+        analogue (vulkan/device.hpp:641) that the static chain already
+        gives static scenes.
+
+        Host side builds each frame's params exactly as the sequential
+        path would (animate -> _build_frame_params, so skin palettes,
+        morph weights, world matrices, culling masks, light bins and
+        jitter all advance identically), then the n dicts are diffed:
+        entries that are the SAME OBJECT every frame (scene buffers,
+        env strips, cached static shadow) stay as shared params; every
+        other entry rides a stacked (n, ...) per-frame bank through
+        graph.execute_chain.  The partition is identity-based on
+        purpose: value-comparing device arrays costs a ~35 ms tunnel
+        readback EACH, while stacking a constant small bank is free —
+        correctness never depends on the partition, only memory does
+        (the one large per-frame bank is the UI overlay, and UI is not
+        a bench config)."""
+        import jax.tree_util as jtu
+        from ..math.muglm import quat_from_axis_angle, quat_rotate
+        saved_pos = self.camera.position.copy()
+        saved_rot = self.camera.rotation.copy()
+        conj = np.array([saved_rot[0], -saved_rot[1], -saved_rot[2],
+                         -saved_rot[3]])
+        frames = []
+        for i in range(n):
+            if camera_orbit != 0.0:
+                yaw = quat_from_axis_angle([0.0, 1.0, 0.0],
+                                           i * camera_orbit)
+                front = quat_rotate(yaw, quat_rotate(
+                    conj, [0.0, 0.0, -1.0]))
+                self.camera.position = saved_pos
+                self.camera.look_at(saved_pos, saved_pos + front)
+            et = t0 + i * frame_time
+            self.animation_system.animate(et)
+            frames.append(dict(
+                self._build_frame_params(frame_time, et)))
+        self.camera.position = saved_pos
+        self.camera.rotation = saved_rot
+        static, stacked = {}, {}
+        for key in frames[0]:
+            subs = [f[key] for f in frames]
+            l0, td0 = jtu.tree_flatten(subs[0])
+            for s in subs[1:]:
+                l, td = jtu.tree_flatten(s)
+                if td != td0:
+                    raise RuntimeError(
+                        f"chained frame param '{key}' changes structure "
+                        "across frames — unsupported config for the "
+                        "time-varying chain")
+            invariant = all(
+                all(b is a for a, b in zip(l0, jtu.tree_leaves(s)))
+                for s in subs[1:])
+            if invariant:
+                static[key] = subs[0]
+            else:
+                stacked[key] = jtu.tree_map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    *subs)
+        # frame_time always stacks so the scan has a length even if the
+        # scene degenerates to static (e.g. a finished animation).
+        static.pop("frame_time", None)
+        stacked["frame_time"] = jnp.broadcast_to(
+            jnp.float32(frame_time), (n,))
+        out, self._history, chk = self.graph.execute_chain(
+            static, stacked, self._history, n)
         self._last_chain_checksum = chk
         return out
 
