@@ -59,22 +59,14 @@ def main():
     app.swapchain_updated(args.width, args.height)
     print("device:", jax.devices()[0], flush=True)
 
-    import __graft_entry__ as ge
-    params, _ = ge._frame_inputs(app)
-    # the bench renders the static shadow ONCE via the host-side cache;
-    # match it so the ladder reflects bench conditions
-    if app.config.directional_light_shadows and \
-            not app._has_dynamic_casters:
-        import jax as _jax
-        from granite_tpu.renderer.scene_renderer import render_shadow_map
-        size = int(app.config.shadow_map_resolution)
-        import jax.numpy as _jnp
-        params["static_shadow_depth"] = _jax.jit(
-            lambda w, m: render_shadow_map(
-                app.packed.with_arrays(app._scene_arrays),
-                w, params["shadow_vp"], size, m))(
-                    params["external"]["world"],
-                    params["shadow_object_mask"])
+    # ROUND-4 FIX: build params with the app's OWN _build_frame_params,
+    # not __graft_entry__._frame_inputs — the entry builder omits
+    # env_tiled_strip / cluster_shadow_atlas / static-VSM, so the old
+    # ladder silently measured a LIGHTER frame than the bench runs
+    # (123.3 vs 188.5 ms/frame protocol-equivalent, the round-3
+    # "bench-vs-ladder gap").  _build_frame_params also renders the
+    # static shadow once via the host-side cache, exactly like bench.
+    params = dict(app._build_frame_params(1 / 60, 0.1))
     n = args.k
     stacked = {"frame_time": jnp.broadcast_to(jnp.float32(1 / 60), (n,))}
     static = dict(params)

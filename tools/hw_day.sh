@@ -22,7 +22,10 @@ print('probe ok', np.asarray(x[0,0:1]))" 2>&1 | tail -2 | tee "$OUT/probe.log"
 grep -q "probe ok" "$OUT/probe.log" || { echo "TUNNEL STILL DEAD"; exit 1; }
 
 echo "== 2. fused-shade Mosaic compile + tiny run (new kernel, unvalidated)"
-timeout 1200 python - 2>&1 | tail -5 | tee "$OUT/shade_fused_probe.log" <<'EOF'
+# NOTE: the heredoc must attach to `python -`, NOT the last pipeline
+# component (round-4 bug: `python - | tee <<EOF` fed the heredoc to tee
+# and the probe never ran).
+timeout 1200 python - <<'EOF' 2>&1 | tail -5 | tee "$OUT/shade_fused_probe.log"
 import numpy as np, jax, jax.numpy as jnp
 from granite_tpu.ops.shade_fused import shade_planes_fused, P_FIXED
 H, W = 64, 256
