@@ -54,6 +54,12 @@ class ViewerConfig:
     clustered_lights_shadows: bool = True
     clustered_lights_shadows_vsm: bool = False
     clustered_lights_shadow_resolution: int = 512
+    # Half-res clustered-shadow term (projection ALU + the K atlas
+    # gathers run at every-other-pixel, 2x2 repeat upsample).  Measured
+    # round 4: the full-res term owned ~98 ms of the 206 ms 1080p frame
+    # (gathers + per-light ALU both scale with pixel count); half-res
+    # costs a 2-px shadow-edge quantization on positional lights only.
+    clustered_lights_shadows_half_res: bool = True
     # The reference declares ssao=true but hard-disables it in the main
     # pass (scene_viewer_application.cpp:763-764 `use_ssao = false`);
     # default off matches its observable output.  ssr defaults off like
@@ -148,6 +154,8 @@ class ViewerConfig:
             "clusteredLightsShadowsVSM": "clustered_lights_shadows_vsm",
             "clusteredLightsShadowsResolution":
                 "clustered_lights_shadow_resolution",
+            "clusteredLightsShadowsHalfRes":
+                "clustered_lights_shadows_half_res",
             "ssao": "ssao",
             "ssr": "ssr",
             "volumetricFog": "volumetric_fog",
@@ -1619,6 +1627,8 @@ class SceneViewerApplication(Application):
             "light_slice_np": slice_np, "light_kind_np": kind_np,
             "light_pos_np": np.stack([li["pos"] for li in infos]),
             "num_lights": len(infos), "k": 2,
+            "half_res": bool(
+                self.config.clustered_lights_shadows_half_res),
         }
         LOGI("Clustered shadow atlas: %d lights, %d slices at %d^2",
              len(infos), len(slices), size)

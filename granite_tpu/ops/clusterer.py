@@ -213,7 +213,8 @@ def shade_clustered(lights: LightBuffer, z_masks, tile_masks, base_color,
             cs["atlas_flat"], cs["vps_np"], cs["size"],
             int(cs["num_lights"]), cs["light_slice_np"],
             cs["light_kind_np"], cs["light_pos_np"], pixel_masks,
-            world_pos, k=cs.get("k", 4), bias=cs.get("bias", 2e-3))
+            world_pos, k=cs.get("k", 4), bias=cs.get("bias", 2e-3),
+            half_res=cs.get("half_res", False))
 
     roughness = roughness_in * 0.75 + 0.25
     V = camera_pos - world_pos

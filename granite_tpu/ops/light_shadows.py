@@ -166,7 +166,7 @@ def _light_sample_coords(world_pos, vps_np, slice0: int, kind: int,
 def topk_shadow_terms(atlas_flat, vps_np, size: int, num_lights: int,
                       light_slice_np, light_kind_np, light_pos_np,
                       pixel_masks, world_pos, k: int = 4,
-                      bias: float = 2e-3):
+                      bias: float = 2e-3, half_res: bool = False):
     """Per-pixel shadow terms of the first K cluster-active shadowed
     lights: K atlas gathers TOTAL, independent of the light count.
 
@@ -176,7 +176,24 @@ def topk_shadow_terms(atlas_flat, vps_np, size: int, num_lights: int,
     slot.  pixel_masks: (..., words) uint32 cluster masks (z & tile
     ANDed).  Returns (slot_light (K, ...) int32 [-1 = empty],
     terms (K, ...) float32).
+
+    half_res: evaluate at every-other-pixel and repeat-upsample 2x2.
+    Both the K gathers AND the per-light projection/select ALU scale
+    with pixel count (gathers ~4 ns/index on the v5e regardless of
+    locality — CLAUDE.md gather economics), so this quarters the whole
+    term's cost; the atlas sample is already bilinear, so the upsample
+    costs one 2-px quantization of shadow-edge positions (same trade
+    the tiled-VSM sun term makes).
     """
+    if half_res and world_pos.ndim == 3:
+        H, W = world_pos.shape[0], world_pos.shape[1]
+        slots, terms = topk_shadow_terms(
+            atlas_flat, vps_np, size, num_lights, light_slice_np,
+            light_kind_np, light_pos_np, pixel_masks[::2, ::2],
+            world_pos[::2, ::2], k=k, bias=bias)
+        slots = jnp.repeat(jnp.repeat(slots, 2, axis=1), 2, axis=2)
+        terms = jnp.repeat(jnp.repeat(terms, 2, axis=1), 2, axis=2)
+        return slots[:, :H, :W], terms[:, :H, :W]
     shape = world_pos.shape[:-1]
     minus1 = jnp.full(shape, -1, jnp.int32)
     slot_light = [minus1 for _ in range(k)]

@@ -1059,9 +1059,15 @@ def shade_surface_fused(surf: dict, params, shadow_map=None,
         # shade_clustered.
         from ..ops.clusterer import shade_clustered  # noqa: F401
         from ..ops.light_shadows import topk_shadow_terms
+        cs = cluster_shadows
+        half = bool(cs.get("half_res", False))
+        # pixel_masks feed ONLY the top-K selection here (the kernel
+        # culls lights itself), so under half_res the 32-slice z-select
+        # tree runs on the subsampled grid too.
+        tpos = pos[::2, ::2] if half else pos
         zs = z_masks.shape[0]
         log_ratio = np.log(z_far / z_near)
-        vz = -(pos @ jnp.asarray(view)[2, :3].T + jnp.asarray(view)[2, 3])
+        vz = -(tpos @ jnp.asarray(view)[2, :3].T + jnp.asarray(view)[2, 3])
         s = jnp.clip(jnp.log(jnp.maximum(vz, z_near) / z_near)
                      / log_ratio * zs, 0, zs - 1).astype(jnp.int32)
         zsel = z_masks[0]
@@ -1069,13 +1075,19 @@ def shade_surface_fused(surf: dict, params, shadow_map=None,
             zsel = jnp.where((s == k)[..., None], z_masks[k], zsel)
         tiled = jnp.repeat(jnp.repeat(tile_masks, cluster_tile, axis=0),
                            cluster_tile, axis=1)[:H, :W]
+        if half:
+            tiled = tiled[::2, ::2]
         pixel_masks = zsel & tiled
-        cs = cluster_shadows
         slots, terms = topk_shadow_terms(
             cs["atlas_flat"], cs["vps_np"], cs["size"],
             int(cs["num_lights"]), cs["light_slice_np"],
             cs["light_kind_np"], cs["light_pos_np"], pixel_masks,
-            pos, k=cs.get("k", 4), bias=cs.get("bias", 2e-3))
+            tpos, k=cs.get("k", 4), bias=cs.get("bias", 2e-3))
+        if half:
+            slots = jnp.repeat(jnp.repeat(slots, 2, axis=1),
+                               2, axis=2)[:, :H, :W]
+            terms = jnp.repeat(jnp.repeat(terms, 2, axis=1),
+                               2, axis=2)[:, :H, :W]
         k_shadow = slots.shape[0]
         slot_planes = [slots[j].astype(jnp.float32)
                        for j in range(k_shadow)] + \

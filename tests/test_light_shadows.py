@@ -117,6 +117,42 @@ def test_topk_slots_ignore_shadowless_lights():
     assert np.allclose(np.asarray(terms), 1.0)
 
 
+def test_topk_half_res_matches_full_on_even_pixels():
+    """clusteredLightsShadowsHalfRes: per-pixel topk is an independent
+    map, so the half-res path must EXACTLY equal the full-res result on
+    even pixels (the repeat-upsample sources), stay within the 2-px
+    quantization everywhere, and handle odd sizes."""
+    S = 32
+    infos = [{"pos": np.array([0.0, 2.0, 0.0], np.float32),
+              "dir": np.array([0.0, -1.0, 0.0], np.float32),
+              "radius": 10.0, "outer": 0.7, "is_spot": True}]
+    vps, slice_np, kind_np = assign_slices(infos)
+    depth = np.zeros((1, S, S), np.float32)
+    depth[0, :, :S // 2] = 0.9                  # near occluder, left half
+    atlas = pack_atlas(jnp.asarray(depth))
+    pos_np = np.stack([infos[0]["pos"]])
+
+    H, W = 17, 23                               # odd on purpose
+    # World-pos grid on the floor plane under the spot.
+    xs = np.linspace(-1.5, 1.5, W, dtype=np.float32)
+    zs = np.linspace(-1.5, 1.5, H, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, zs)
+    wp = jnp.asarray(np.stack([gx, np.zeros_like(gx), gz], -1))
+    masks = jnp.full((H, W, 1), 1, jnp.uint32)
+
+    full = topk_shadow_terms(atlas, vps, S, 1, slice_np, kind_np,
+                             pos_np, masks, wp, k=2)
+    half = topk_shadow_terms(atlas, vps, S, 1, slice_np, kind_np,
+                             pos_np, masks, wp, k=2, half_res=True)
+    for f, h in zip(full, half):
+        f, h = np.asarray(f), np.asarray(h)
+        assert h.shape == f.shape
+        np.testing.assert_array_equal(h[:, ::2, ::2], f[:, ::2, ::2])
+    # Terms stay close globally (only shadow-edge pixels may move).
+    dterm = np.abs(np.asarray(full[1]) - np.asarray(half[1]))
+    assert (dterm > 0.25).mean() < 0.15, dterm.mean()
+
+
 def test_vsm_atlas_matches_pcf_occlusion():
     """clusteredLightsShadowsVSM: the VSM atlas (filterable moments +
     Chebyshev) agrees with the PCF atlas on fully-lit and fully-occluded

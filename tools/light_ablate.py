@@ -27,11 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 VARIANTS = [
     ("full (bench config)", {}),
+    ("clusterShadowHalfRes off (full-res term)",
+     {"clusteredLightsShadowsHalfRes": False}),
+    ("fusedShade off (classic XLA shade)", {"fusedShade": False}),
+    ("halfRes off + fusedShade off",
+     {"clusteredLightsShadowsHalfRes": False, "fusedShade": False}),
     ("clusteredLightsShadows off", {"clusteredLightsShadows": False}),
     ("envTileSampler off", {"envTileSampler": False}),
-    ("fusedShade off (classic XLA shade)", {"fusedShade": False}),
-    ("cluster-shadows+envTile off",
-     {"clusteredLightsShadows": False, "envTileSampler": False}),
 ]
 
 
