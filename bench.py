@@ -46,6 +46,11 @@ def bench_deferred_hdr(width=1920, height=1080, frames=12,
         # Fallback mode (see main): newest Pallas paths off so a kernel
         # regression can never leave the round without a number.
         cfg["fusedShade"] = False
+    import os as _os
+    if _os.environ.get("GRANITE_BENCH_CFG"):
+        # A/B hook: JSON config overrides merged on top of the bench
+        # config (tools/hw_day experiments; never set by the driver).
+        cfg.update(_json.loads(_os.environ["GRANITE_BENCH_CFG"]))
     with tempfile.NamedTemporaryFile("w", suffix=".json",
                                      delete=False) as f:
         _json.dump(cfg, f)

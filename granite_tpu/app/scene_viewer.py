@@ -94,6 +94,10 @@ class ViewerConfig:
     # it on TPU for eligible scenes (S<=512, <=8 bundles, no streaming);
     # true/false force it.  The classic XLA gather path is the fallback.
     material_tile_sampler: str = "auto"
+    # materialTextures=false: factor-only materials (no texture fetch /
+    # normal map) — a quality tier and the ladder probe for the
+    # material rung (tools/frame_probe.py).
+    material_textures: bool = True
     # Specular-IBL/skybox fetch through the tile-rect sampler (follows
     # materialTileSampler unless forced here).
     env_tile_sampler: bool = True
@@ -167,6 +171,7 @@ class ViewerConfig:
                 "volumetric_diffuse_face_resolution",
             "textureStreaming": "texture_streaming",
             "materialTileSampler": "material_tile_sampler",
+            "materialTextures": "material_textures",
             "envTileSampler": "env_tile_sampler",
             "fusedShade": "fused_shade",
             "rasterMaxVisible": "raster_max_visible",
@@ -1133,17 +1138,20 @@ class SceneViewerApplication(Application):
                     scene, clip, object_mask, wpos, wnrm, wtan,
                     self._rw, self._rh, lod_bias=self.config.lod_bias,
                     prev_world_pos=prev_wpos,
-                    max_visible=mv if mv > 0 else None)
+                    max_visible=mv if mv > 0 else None,
+                    material_textures=self.config.material_textures)
             setup, depth, tri = rasterize_scene(
                 scene, clip, object_mask, self._rw, self._rh)
             surf = surface_attributes(
                 scene, setup, tri, wpos, wnrm, wtan, self._rw, self._rh,
-                lod_bias=self.config.lod_bias, prev_world_pos=prev_wpos)
+                lod_bias=self.config.lod_bias, prev_world_pos=prev_wpos,
+                material_textures=self.config.material_textures)
             return surf, depth
         prev_wpos = self._prev_world_positions(ctx, scene)
         surf = surface_attributes(
             scene, setup, tri, wpos, wnrm, wtan, self._rw, self._rh,
-            lod_bias=self.config.lod_bias, prev_world_pos=prev_wpos)
+            lod_bias=self.config.lod_bias, prev_world_pos=prev_wpos,
+            material_textures=self.config.material_textures)
         return surf, depth
 
     def _prev_world_positions(self, ctx, scene):

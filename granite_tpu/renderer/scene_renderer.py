@@ -520,7 +520,7 @@ def rasterize_scene(scene: PackedScene, clip, object_mask, width: int,
 def surface_attributes(scene: PackedScene, setup, tri, world_pos,
                        world_normal, world_tangent, width: int, height: int,
                        lod_bias: float = 0.0, prev_world_pos=None,
-                       bundles=None):
+                       bundles=None, material_textures: bool = True):
     """Visibility-buffer resolve: material gathers + texture sampling +
     normal mapping.  Shared by the forward path (static_mesh.frag) and
     the deferred G-buffer pass (static_mesh.frag DEFERRED variant).
@@ -596,68 +596,47 @@ def surface_attributes(scene: PackedScene, setup, tri, world_pos,
     duvdx = ddx[..., 10:12]
     duvdy = ddy[..., 10:12]
 
-    base_factor = row[..., m0:m0 + 4]
-    mr_factor = row[..., m0 + 4:m0 + 6]
-    bundle_id = row[..., m0 + 6].astype(jnp.int32)
-    emissive_factor = row[..., m0 + 7:m0 + 10]
-
-    S = bundles.shape[2]
-    lod = T.lod_from_derivs(duvdx[..., 0], duvdx[..., 1],
-                            duvdy[..., 0], duvdy[..., 1], S, S,
-                            bias=lod_bias)
-    u, v = uv[..., 0], uv[..., 1]
-    # ONE bundle fetch (ONE single-index gather) gives all four material
-    # textures at the shared (uv, lod): [base | mr | normal | emissive].
-    tex = T.sample_packed_lod(bundles, bundle_id, u, v, lod,
-                              MATERIAL_CHANNELS)
-    base_tex = tex[..., 0:4]
-    base_color = base_factor[..., :3] * base_tex[..., :3]
-
-    # Shader-variant specialization (ShaderSuite material flags): unpack
-    # only the channels some material in the scene uses (the fetch cost
-    # is already shared; these gates keep the ALU lean).
-    if scene.has_mr_textures:
-        metallic = mr_factor[..., 0] * tex[..., 5]      # glTF: B=metal
-        roughness = mr_factor[..., 1] * tex[..., 4]     # G=rough
-    else:
-        metallic = mr_factor[..., 0]
-        roughness = mr_factor[..., 1]
-
-    n = _normalize(nrm)
-    if scene.has_normal_maps:
-        # Normal mapping (static_mesh.frag tangent-frame path).
-        t3 = _normalize(tan[..., :3])
-        b = jnp.cross(n, t3) * tan[..., 3:4]
-        tn = tex[..., 6:9] * 2.0 - 1.0
-        n_mapped = _normalize(tn[..., 0:1] * t3 + tn[..., 1:2] * b
-                              + tn[..., 2:3] * n)
-    else:
-        n_mapped = n
-
-    if scene.has_emissive:
-        emissive = emissive_factor * tex[..., 9:12]
-    else:
-        emissive = jnp.zeros_like(base_color)
-
-    alpha = base_factor[..., 3] * base_tex[..., 3]
-    out = {"pos": pos, "normal": n_mapped, "base_color": base_color,
-           "metallic": metallic, "roughness": roughness,
-           "emissive": emissive, "covered": covered, "alpha": alpha}
-    if prev_world_pos is not None:
-        out["prev_pos"] = vals[..., 12:15]
-    return out
+    return _material_shade_tail(
+        scene, bundles, pos=pos, nrm=nrm, tan=tan, uv=uv,
+        duvdx=duvdx, duvdy=duvdy,
+        base_factor=row[..., m0:m0 + 4],
+        mr_factor=row[..., m0 + 4:m0 + 6],
+        bundle_id=row[..., m0 + 6].astype(jnp.int32),
+        emissive_factor=row[..., m0 + 7:m0 + 10],
+        covered=covered, lod_bias=lod_bias,
+        prev_pos=(vals[..., 12:15] if prev_world_pos is not None
+                  else None),
+        textures=material_textures)
 
 
 def _material_shade_tail(scene, bundles, pos, nrm, tan, uv, duvdx, duvdy,
                          base_factor, mr_factor, bundle_id,
-                         emissive_factor, covered, lod_bias, prev_pos=None):
+                         emissive_factor, covered, lod_bias, prev_pos=None,
+                         textures: bool = True):
     """Texture fetch + normal mapping tail shared by the classic resolve
     and the fused-kernel plane path.
 
     When the scene carries tile-rect strips (ops/tile_sampler) and the
     streaming override isn't active, the fetch runs through the Pallas
     tile sampler (rect DMA + one-hot MXU fetch) instead of the per-pixel
-    XLA gather — same quad+parent trilinear, ~6x cheaper at 1080p."""
+    XLA gather — same quad+parent trilinear, ~6x cheaper at 1080p.
+
+    textures=False (materialTextures knob): factor-only materials — no
+    texture fetch, no normal mapping.  A quality tier AND the in-context
+    probe for the material rung of the frame ladder (tools/frame_probe)."""
+    if not textures:
+        n = _normalize(nrm)
+        emissive = (emissive_factor if scene.has_emissive
+                    else jnp.zeros_like(base_factor[..., :3]))
+        out = {"pos": pos, "normal": n,
+               "base_color": base_factor[..., :3],
+               "metallic": mr_factor[..., 0],
+               "roughness": mr_factor[..., 1],
+               "emissive": emissive, "covered": covered,
+               "alpha": base_factor[..., 3]}
+        if prev_pos is not None:
+            out["prev_pos"] = prev_pos
+        return out
     use_tiled = (scene.bundles_tiled_strip is not None
                  and bundles is scene.bundles)
     S = scene.tiled_meta[1] if use_tiled else bundles.shape[2]
@@ -712,7 +691,8 @@ def fused_raster_surface(scene: PackedScene, clip, object_mask,
                          world_pos, world_normal, world_tangent,
                          width: int, height: int, lod_bias: float = 0.0,
                          prev_world_pos=None, bundles=None,
-                         interpret=None, max_visible: int | None = None):
+                         interpret=None, max_visible: int | None = None,
+                         material_textures: bool = True):
     """Raster + resolve through the fused Pallas mega-kernel
     (ops/raster_fused.py): zero per-pixel HBM gathers until the texture
     fetch.  Returns (surf dict, depth)."""
@@ -755,7 +735,8 @@ def fused_raster_surface(scene: PackedScene, clip, object_mask,
         emissive_factor=ch(PLANE_EMISSIVE, 3),
         covered=planes[PLANE_COVERED] > 0.5, lod_bias=lod_bias,
         prev_pos=(ch(PLANE_PREV, 3) if prev_world_pos is not None
-                  else None))
+                  else None),
+        textures=material_textures)
     return surf, planes[PLANE_DEPTH]
 
 

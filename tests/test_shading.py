@@ -316,3 +316,24 @@ def test_packed_lod_strip_matches_trilinear():
     assert err < 0.15, err
     mean_err = np.abs(np.asarray(a) - np.asarray(b)).mean()
     assert mean_err < 0.03, mean_err
+
+
+def test_material_textures_off_knob():
+    """materialTextures=false: factor-only materials — finite frame,
+    still lit/shadowed, visibly different from the textured render
+    (the frame-ladder probe for the material rung)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from golden_utils import render_config
+    cfg = {"renderer": "deferred", "hdrBloom": True,
+           "shadowMapResolution": 64,
+           "clusteredLightsShadowsResolution": 64}
+    tex = np.asarray(render_config(cfg), np.float32)
+    flat = np.asarray(render_config({**cfg, "materialTextures": False}),
+                      np.float32)
+    assert np.isfinite(flat).all()
+    # Still a real render: non-black rgb planes.
+    assert all(1.0 < m < 250.0 for m in flat[..., :3].mean((0, 1)))
+    # And actually flat: differs from the textured frame.
+    assert np.abs(tex[..., :3] - flat[..., :3]).mean() > 0.5
