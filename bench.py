@@ -97,6 +97,10 @@ def bench_deferred_hdr(width=1920, height=1080, frames=12,
         "imageOk": image_ok,
         "planeMeans": means,
         "safeMode": safe,
+        # Warm-start trend (VERDICT r3 #7): cold-process compile cost is
+        # driver-recorded so rounds can compare.  Chain-only compilation
+        # keeps this to ONE executable.
+        "compileTimeS": round(compile_s, 1),
     }
 
 
@@ -107,22 +111,34 @@ PROBE_SRC = (
 )
 
 
-def tunnel_probe(timeout_s: float = 120.0) -> bool:
-    """1-op jit in a subprocess, bounded.
+def tunnel_probe(timeout_s: float = 120.0, attempts: int = 3,
+                 backoff_s: float = 60.0) -> bool:
+    """1-op jit in a subprocess, bounded, with retry.
 
     Round-3 lesson (BENCH_r03 rc=124): with the axon tunnel dead, the
     first real compile hangs/burns ~25 min and the driver's whole
     window times out with nothing diagnostic recorded.  Probe first;
     on failure the caller prints a parseable error line and exits
-    non-zero within ~2 min."""
+    non-zero within minutes.
+
+    Round-4 lesson: the tunnel serves ONE client; a probe racing a
+    previous process's teardown times out TRANSIENTLY (and a SIGKILLed
+    probe can wedge the next client too).  Retrying with a backoff
+    distinguishes contention from a dead tunnel."""
     import subprocess
-    try:
-        proc = subprocess.run([sys.executable, "-c", PROBE_SRC],
-                              capture_output=True, text=True,
-                              timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return False
-    return "probe ok" in (proc.stdout or "")
+    import time as _time
+    for i in range(attempts):
+        if i:
+            _time.sleep(backoff_s)
+        try:
+            proc = subprocess.run([sys.executable, "-c", PROBE_SRC],
+                                  capture_output=True, text=True,
+                                  timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            continue
+        if "probe ok" in (proc.stdout or ""):
+            return True
+    return False
 
 
 def main() -> int:

@@ -49,6 +49,9 @@ def main():
 
     cfg = {"renderer": "deferred", "hdrBloom": True,
            "shadowMapResolution": 2048}
+    if os.environ.get("GRANITE_BENCH_CFG"):
+        # Same A/B hook as bench.py: ladder any config variant.
+        cfg.update(json.loads(os.environ["GRANITE_BENCH_CFG"]))
     with tempfile.NamedTemporaryFile("w", suffix=".json",
                                      delete=False) as f:
         json.dump(cfg, f)
