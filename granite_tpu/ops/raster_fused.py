@@ -113,7 +113,7 @@ def _fused_kernel(starts_ref, huge_starts_ref,
                   pkt_scratch, dma_sems, depth_s, win_s, acc_s,
                   stops_smem,
                   *, tiles_x: int, n_tiles: int, span_w: int,
-                  span_h: int, has_prev: bool):
+                  span_h: int, has_prev: bool, pass2: bool = True):
     from .raster_binned import COL_ZMAX, MAX_ENTRIES_PER_TILE, ZQ_PAD
     tile = pl.program_id(0)
     ty = tile // tiles_x
@@ -277,6 +277,15 @@ def _fused_kernel(starts_ref, huge_starts_ref,
     # chunks all lost the depth test), so each range re-streams at most
     # stops_smem[slot] chunks.  Fully-background tiles (sky) skip the
     # whole pass — nothing can match the -1 winners.
+    if not pass2:
+        # Probe mode (GRANITE_RASTER_PASS1_ONLY): depth/coverage only —
+        # the hardware ladder's split of pass-1 raster cost vs pass-2
+        # payload+interp cost.  NOT a rendering mode.
+        planes_out[PLANE_DEPTH] = depth_s[:]
+        planes_out[PLANE_COVERED] = (win_s[:] != -1).astype(jnp.float32)
+        for p in range(2, NUM_PLANES):
+            planes_out[p] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        return
     acc_s[:] = jnp.zeros((EXTRA_COLS, TILE_H * TILE_W), jnp.float32)
     idx_flat = win_s[:].reshape(1, TILE_H * TILE_W)        # (1, P)
     any_win = jnp.max(win_s[:]) >= 0
@@ -435,9 +444,11 @@ def rasterize_resolve(setup: TriangleSetup, extra, width: int,
         setup, width, height, huge_cap, span_w=span_w, span_h=span_h,
         extra=payload, max_visible=max_visible)
 
-    kernel = functools.partial(_fused_kernel, tiles_x=tx,
-                               n_tiles=ntiles, span_w=span_w,
-                               span_h=span_h, has_prev=has_prev)
+    import os as _os
+    kernel = functools.partial(
+        _fused_kernel, tiles_x=tx, n_tiles=ntiles, span_w=span_w,
+        span_h=span_h, has_prev=has_prev,
+        pass2=not _os.environ.get("GRANITE_RASTER_PASS1_ONLY"))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ntiles,),
