@@ -109,8 +109,11 @@ class ViewerConfig:
     # argsort (0 = off).  Culled scenes keep a fraction of triangles;
     # compacting survivors shrinks the sort by the same factor.
     # OVERFLOW DROPS GEOMETRY (counted in raster stats) — size it above
-    # the worst-case visible count for the scene.
-    raster_max_visible: int = 0
+    # the worst-case visible count for the scene.  "auto" sizes it from
+    # the host cull census each frame build: 1.5x the visible-object
+    # triangle count, rounded up to 8192, growing monotonically (the
+    # graph retraces only when the capacity bucket grows).
+    raster_max_visible: int | str = 0
     # MeshEncoding (resource_manager.hpp:85-92): "meshlet" re-encodes
     # static meshes through the MLT2 codec at load and decodes at
     # instantiation (MeshletDecoded); "classic" keeps raw SoA.
@@ -1133,7 +1136,9 @@ class SceneViewerApplication(Application):
                 # the per-pixel packed-row gather and interpolation move
                 # into the tile kernel (one-hot MXU fetch).
                 from ..renderer.scene_renderer import fused_raster_surface
-                mv = int(self.config.raster_max_visible)
+                mv_cfg = self.config.raster_max_visible
+                mv = (int(getattr(self, "_auto_max_visible", 0))
+                      if mv_cfg == "auto" else int(mv_cfg))
                 return fused_raster_surface(
                     scene, clip, object_mask, wpos, wnrm, wtan,
                     self._rw, self._rh, lod_bias=self.config.lod_bias,
@@ -1707,6 +1712,36 @@ class SceneViewerApplication(Application):
                 self.ocean is not None, self._jitter is not None,
                 self.config.show_ui)
 
+    def _update_auto_max_visible(self, masks) -> None:
+        """rasterMaxVisible="auto": size the visibility-compaction
+        capacity from the host cull census (bench census: 49% of the
+        Sponza-class scene survives, and compaction nearly halves the
+        per-frame argsort, 136.2 -> 127.9 ms/frame measured).
+
+        Capacity = 1.5x the worst visible-object triangle count over
+        `masks`, rounded up to 8192, monotonically GROWING across the
+        app's lifetime (no invalidation thrash; overflow would drop
+        geometry).  At >= the scene total, compaction turns off (0).
+        Capacity is a trace-time constant, so a growth invalidates the
+        graph's compiled step/chain executables."""
+        if getattr(self, "_tris_per_object", None) is None:
+            self._tris_per_object = np.bincount(
+                np.asarray(self.packed.tri_object),
+                minlength=self.packed.num_objects)
+        worst = max(int(self._tris_per_object[m].sum()) for m in masks)
+        total = int(self.packed.indices.shape[0])
+        cap = max(8192, -(-int(worst * 1.5) // 8192) * 8192)
+        cap = 0 if cap >= total else cap
+        prev = getattr(self, "_auto_max_visible", None)
+        if prev is not None:
+            if prev == 0:
+                return                  # already uncapped (the max)
+            if cap != 0 and cap <= prev:
+                return                  # monotone: never shrink/flap
+        self._auto_max_visible = cap
+        if prev is not None:
+            self.graph.invalidate_executables()
+
     def _build_frame_params(self, frame_time: float,
                             elapsed_time: float):
         """Host-side frame prep: culling, shadow matrices, light
@@ -1740,6 +1775,8 @@ class SceneViewerApplication(Application):
             transparent_mask[scene.gather_visible_transparent_renderables(
                 self.context.frustum)] = True
             object_mask &= ~transparent_mask
+        if self.config.raster_max_visible == "auto":
+            self._update_auto_max_visible([object_mask])
 
         mn = scene.r_world_min.min(axis=0)
         mx = scene.r_world_max.max(axis=0)

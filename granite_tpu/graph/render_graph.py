@@ -401,6 +401,19 @@ class RenderGraph:
         self._step = step
         self._jitted = jax.jit(step, donate_argnums=(1,))
 
+    def invalidate_executables(self) -> None:
+        """Drop compiled step/chain executables.
+
+        For trace-time constants that live OUTSIDE the param pytree
+        (e.g. the auto visibility-compaction capacity, which changes
+        internal array shapes): jax.jit caches by input shapes only, so
+        a changed closure constant would silently reuse a stale
+        executable.  Re-wrapping the step forces a retrace on next use;
+        pass wiring/bake order are unaffected."""
+        if self._step is not None:
+            self._jitted = jax.jit(self._step, donate_argnums=(1,))
+        self._chain_cache = {}
+
     # -- runtime --------------------------------------------------------------
     def initial_history(self) -> dict:
         """Zero-cleared history arrays for frame 0 (the reference clears

@@ -322,3 +322,43 @@ def test_execute_chain_matches_sequential_taa():
     out_chain = b.render_frames_chained(1 / 60, 0.0, 4)
     assert a._jitter is not None and a._jitter.phase == b._jitter.phase
     assert np.array_equal(np.asarray(out_seq), np.asarray(out_chain))
+
+
+def test_raster_max_visible_auto():
+    """rasterMaxVisible="auto": capacity sized from the host cull
+    census (1.5x visible tris, 8192-rounded, monotone growth), and
+    growth invalidates the graph's compiled executables."""
+    import json
+    import tempfile
+    import types
+
+    import numpy as np
+
+    from granite_tpu.app.scene_viewer import SceneViewerApplication
+    cfg = {"renderer": "deferred", "hdrBloom": False,
+           "shadowMapResolution": 64, "clusteredLightsShadows": False,
+           "rasterMaxVisible": "auto"}
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(cfg, f)
+        path = f.name
+    app = SceneViewerApplication(types.SimpleNamespace(
+        scene=None, config=path, camera_index=-1, bench_scene=False))
+    app.swapchain_updated(96, 64)
+    app.render_frame(1 / 60, 0.0)
+    cap = app._auto_max_visible
+    total = int(app.packed.indices.shape[0])
+    assert cap == 0 or (cap % 8192 == 0 and cap < total)
+    # Monotone growth + invalidation: a bigger census must grow the
+    # capacity and drop the chain cache; a smaller one must not shrink.
+    app.graph._chain_cache = {"chain-sentinel": object()}
+    all_mask = np.ones(app.packed.num_objects, bool)
+    app._update_auto_max_visible([all_mask])
+    cap2 = app._auto_max_visible
+    assert cap2 == 0 or cap2 >= cap
+    if cap2 != cap:
+        assert app.graph._chain_cache == {}
+    before = app._auto_max_visible
+    app._update_auto_max_visible([np.zeros(app.packed.num_objects,
+                                           bool)])
+    assert app._auto_max_visible == before

@@ -48,7 +48,8 @@ def main():
     import jax.numpy as jnp
 
     cfg = {"renderer": "deferred", "hdrBloom": True,
-           "shadowMapResolution": 2048}
+           "shadowMapResolution": 2048,
+           "rasterMaxVisible": 163840}     # mirror bench.py's config
     if os.environ.get("GRANITE_BENCH_CFG"):
         # Same A/B hook as bench.py: ladder any config variant.
         cfg.update(json.loads(os.environ["GRANITE_BENCH_CFG"]))
