@@ -101,6 +101,10 @@ class ViewerConfig:
     # Specular-IBL/skybox fetch through the tile-rect sampler (follows
     # materialTileSampler unless forced here).
     env_tile_sampler: bool = True
+    # Specular-IBL fetch at half resolution + bilinear upsample (the
+    # pre-tile-sampler accepted trade for prefiltered reflections; the
+    # skybox/background always stays full-res).
+    env_specular_half_res: bool = False
     # ONE fused Pallas shade kernel for the whole lighting expression
     # (ops/shade_fused): "auto" uses it on TPU whenever eligible
     # (64-px cluster tiles, <=32 light capacity); true/false force it.
@@ -176,6 +180,7 @@ class ViewerConfig:
             "materialTileSampler": "material_tile_sampler",
             "materialTextures": "material_textures",
             "envTileSampler": "env_tile_sampler",
+            "envSpecularHalfRes": "env_specular_half_res",
             "fusedShade": "fused_shade",
             "rasterMaxVisible": "raster_max_visible",
             "meshEncoding": "mesh_encoding",
@@ -1223,7 +1228,8 @@ class SceneViewerApplication(Application):
                   env={"strips": p["env_strips"], "sh": p["env_sh"],
                        "levels": self.environment.num_levels,
                        "sky_params": self.environment.sky_params,
-                       "tiled": self._env_tiled(p)},
+                       "tiled": self._env_tiled(p),
+                       "half_res": self.config.env_specular_half_res},
                   vol_diffuse=self._vol_diffuse)
         if self._has_lights:
             zn, zf = self._cluster_range

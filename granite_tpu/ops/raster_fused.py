@@ -113,7 +113,8 @@ def _fused_kernel(starts_ref, huge_starts_ref,
                   pkt_scratch, dma_sems, depth_s, win_s, acc_s,
                   stops_smem,
                   *, tiles_x: int, n_tiles: int, span_w: int,
-                  span_h: int, has_prev: bool, pass2: bool = True):
+                  span_h: int, has_prev: bool, pass2: bool = True,
+                  pass1: bool = True):
     from .raster_binned import COL_ZMAX, MAX_ENTRIES_PER_TILE, ZQ_PAD
     tile = pl.program_id(0)
     ty = tile // tiles_x
@@ -126,6 +127,15 @@ def _fused_kernel(starts_ref, huge_starts_ref,
 
     depth_s[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     win_s[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)   # -1=background
+
+    if not pass1:
+        # Probe mode (GRANITE_RASTER_BIN_ONLY): no packet streaming at
+        # all — the ladder's g-base rung then measures transform +
+        # setup + binning + sort alone (pallas_call is opaque to XLA,
+        # so the binning inputs still compute).  NOT a rendering mode.
+        for p in range(NUM_PLANES):
+            planes_out[p] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        return
 
     # Huge-list winners get global ids offset past the small array.
     HUGE_BASE = packets_hbm.shape[0]
@@ -448,7 +458,8 @@ def rasterize_resolve(setup: TriangleSetup, extra, width: int,
     kernel = functools.partial(
         _fused_kernel, tiles_x=tx, n_tiles=ntiles, span_w=span_w,
         span_h=span_h, has_prev=has_prev,
-        pass2=not _os.environ.get("GRANITE_RASTER_PASS1_ONLY"))
+        pass2=not _os.environ.get("GRANITE_RASTER_PASS1_ONLY"),
+        pass1=not _os.environ.get("GRANITE_RASTER_BIN_ONLY"))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ntiles,),

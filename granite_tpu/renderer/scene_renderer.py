@@ -805,6 +805,8 @@ def compute_env_products(surf, params, env, width: int, height: int,
     nov = jnp.clip((n * v).sum(-1), 0.0, 1.0)
     refl = 2.0 * nov[..., None] * n - v
     lod = surf["roughness"] * (env["levels"] - 1.0)
+    half_spec = (bool(env.get("half_res")) and n.ndim == 3
+                 and n.shape[0] % 2 == 0 and n.shape[1] % 2 == 0)
     if background is None and width and height:
         px, py = R.pixel_centers(width, height)
         ivp = params["inv_view_proj"]
@@ -823,8 +825,19 @@ def compute_env_products(surf, params, env, width: int, height: int,
             background = analytic_sky(view_dirs, **env["sky_params"])
             if tiled is not None:
                 from .environment import sample_environment_tiled
-                spec_env = sample_environment_tiled(
-                    tiled, refl, lod, covered=cov)
+                if half_spec:
+                    # envSpecularHalfRes: prefiltered reflections at
+                    # every-other-pixel + bilinear upsample (the
+                    # accepted pre-tile-sampler trade; the analytic sky
+                    # background stays full-res).
+                    from ..ops.hdr import resize_bilinear
+                    spec_h = sample_environment_tiled(
+                        tiled, refl[::2, ::2], lod[::2, ::2],
+                        covered=cov[::2, ::2])
+                    spec_env = resize_bilinear(spec_h, height, width)
+                else:
+                    spec_env = sample_environment_tiled(
+                        tiled, refl, lod, covered=cov)
             else:
                 from ..ops.hdr import resize_bilinear
                 spec_h = sample_environment(
@@ -842,8 +855,15 @@ def compute_env_products(surf, params, env, width: int, height: int,
             background = env_sample
     elif env.get("tiled") is not None:
         from .environment import sample_environment_tiled
-        spec_env = sample_environment_tiled(env["tiled"], refl, lod,
-                                            covered=surf["covered"])
+        if half_spec:
+            from ..ops.hdr import resize_bilinear
+            spec_h = sample_environment_tiled(
+                env["tiled"], refl[::2, ::2], lod[::2, ::2],
+                covered=surf["covered"][::2, ::2])
+            spec_env = resize_bilinear(spec_h, n.shape[0], n.shape[1])
+        else:
+            spec_env = sample_environment_tiled(
+                env["tiled"], refl, lod, covered=surf["covered"])
     else:
         spec_env = sample_environment(env["strips"], refl, lod)
     if background is None:

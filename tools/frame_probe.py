@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("-k", type=int, default=12)
+    ap.add_argument("--stop-after", default=None,
+                    help="resource name: ladder only up to this rung "
+                         "(cheap single-rung probes)")
     args = ap.parse_args()
 
     import jax
@@ -122,6 +125,8 @@ def main():
               f"   [compile {compile_s:.0f}s]", flush=True)
         results.append((res, ms))
         prev = ms
+        if args.stop_after and res == args.stop_after:
+            break
 
     # restore the real backbuffer
     g.set_backbuffer_source("backbuffer")
