@@ -83,15 +83,18 @@ def _zq_key(zmax: jax.Array) -> jax.Array:
     return (jnp.clip(1.0 - zmax, 0.0, 1.0) * _ZQ_MAX).astype(jnp.int32)
 
 
-def _pack_chunk_unions(arr: jax.Array, tx0, ty0, tx1, ty1,
-                       n_valid_key) -> jax.Array:
-    """Write per-16-row-group bbox unions into rows 0::16 of `arr`.
+def _chunk_union_cols(n: int, tx0, ty0, tx1, ty1, n_valid_key):
+    """Per-16-row-group bbox unions as two (n + CHUNK, 1) f32 COLUMNS
+    (values on rows 0::16, zero elsewhere — including the CHUNK pad
+    rows, which hold zero packets the kernels mask out-of-range).
 
     tx0.. are the per-row tile bboxes IN SORTED ORDER (invalid rows —
     key >= n_valid_key — contribute empty boxes).  The kernels read the
     union from the chunk's first row, so ranges must be walked
-    16-ALIGNED (head rows masked)."""
-    n = arr.shape[0] - CHUNK              # arr is padded by one chunk
+    16-ALIGNED (head rows masked).  Returned as columns so the caller
+    CONCATENATES them into the packet build (fused into the packet
+    gather) — patching them in with `.at[rows, col].set` copied the
+    whole (C, 128) array twice (~9 ms/frame at C=164k on hardware)."""
     g = -(-n // CHUNK)                    # the pad covers a partial tail
     big = jnp.int32(1 << 14)
 
@@ -108,10 +111,22 @@ def _pack_chunk_unions(arr: jax.Array, tx0, ty0, tx1, ty1,
     uy1 = jnp.maximum(grp(ty1, jnp.max, -1), 0)
     px = (ux0 + (ux1 << _UNION_SHIFT)).astype(jnp.float32)
     py = (uy0 + (uy1 << _UNION_SHIFT)).astype(jnp.float32)
-    rows = jnp.arange(g, dtype=jnp.int32) * CHUNK
-    arr = arr.at[rows, COL_UNION_X].set(px)
-    arr = arr.at[rows, COL_UNION_Y].set(py)
-    return arr
+
+    def col(vals):
+        c = jnp.zeros((g, CHUNK), jnp.float32).at[:, 0].set(vals)
+        return c.reshape(-1)[:n, None]
+
+    return col(px), col(py)
+
+
+def _fold_union_cols(body: jax.Array, ux, uy) -> jax.Array:
+    """Place the union columns at COL_UNION_X/Y via a lane-iota select —
+    pure elementwise, so XLA fuses it into the packet-gather output pass
+    (a concatenate or `.at[rows, col].set` costs a second full
+    materialization: ~7 ms at (164k, 128) on hardware)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, body.shape[1]), 1)
+    return jnp.where(lane == COL_UNION_X, ux,
+                     jnp.where(lane == COL_UNION_Y, uy, body))
 
 
 def _tri_zmax(setup: TriangleSetup) -> jax.Array:
@@ -133,27 +148,45 @@ def _tri_zmax(setup: TriangleSetup) -> jax.Array:
     return jnp.minimum(zm, 1.0)
 
 
-def _build_packets(setup: TriangleSetup, extra=None) -> jax.Array:
-    """(T, 128) f32 packets; slot 20 holds the int32 tri id (bitcast);
+def _build_packets(setup: TriangleSetup, extra=None, idx=None,
+                   width: int = PACKET_F32) -> jax.Array:
+    """(T, width) f32 packets; slot 20 holds the int32 tri id (bitcast);
     slot COL_ZMAX the conservative max depth (early-z sort key).
 
     extra: optional (T, E<=99) resolve payload placed at columns 21..
-    (the fused raster+resolve kernel, ops/raster_fused.py)."""
+    (the fused raster+resolve kernel, ops/raster_fused.py).
+
+    idx: optional (N,) i32 — build packets DIRECTLY in gathered order
+    (row i holds triangle idx[i]; slot 20 = idx[i]).  Per-column
+    gathers: only worth it for SMALL N (the huge list); at C=164k one
+    fused concat-gather (`_build_packets(...)[fidx]`) measured 14.7 ms
+    vs 17.9 for this form.
+
+    width: build only columns [0, width) — the binner passes
+    COL_UNION_X and concatenates the two sorted-domain chunk-union
+    columns itself (they cannot be built in triangle domain)."""
     T = setup.adj.shape[0]
-    tri_ids = jax.lax.bitcast_convert_type(
-        jnp.arange(T, dtype=jnp.int32), jnp.float32)
-    cols = [setup.edge.reshape(T, 15),
-            setup.zplane,
-            setup.offset,
+    if idx is None:
+        ids = jnp.arange(T, dtype=jnp.int32)
+        g = lambda a: a
+    else:
+        ids = idx.astype(jnp.int32)
+        g = lambda a: a[ids]
+    N = ids.shape[0]
+    tri_ids = jax.lax.bitcast_convert_type(ids, jnp.float32)
+    cols = [g(setup.edge.reshape(T, 15)),
+            g(setup.zplane),
+            g(setup.offset),
             tri_ids[:, None]]
     used = 21
     if extra is not None:
-        cols.append(extra.astype(jnp.float32))
+        cols.append(g(extra.astype(jnp.float32)))
         used += extra.shape[1]
     assert used <= COL_ZMAX
-    cols.append(jnp.zeros((T, COL_ZMAX - used), jnp.float32))
-    cols.append(_tri_zmax(setup)[:, None])
-    cols.append(jnp.zeros((T, PACKET_F32 - COL_ZMAX - 1), jnp.float32))
+    cols.append(jnp.zeros((N, COL_ZMAX - used), jnp.float32))
+    cols.append(g(_tri_zmax(setup))[:, None])
+    assert width > COL_ZMAX
+    cols.append(jnp.zeros((N, width - COL_ZMAX - 1), jnp.float32))
     return jnp.concatenate(cols, axis=1)
 
 
@@ -177,16 +210,15 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     max_visible: optional static capacity for a visibility-compaction
     stage.  Culled scenes often keep <25% of triangles; compacting the
     survivors first shrinks the sort and the packet gather by the same
-    factor.  Triangles beyond the capacity are DROPPED and counted.
+    factor.  SMALL triangles beyond the capacity are DROPPED and
+    counted (huge triangles compact independently against huge_cap).
     """
     tx = -(-width // TILE_W)
     ty = -(-height // TILE_H)
     ntiles = tx * ty
 
     assert ntiles < (1 << 11), "composite sort key needs ntiles < 2048"
-    bbox = setup.bbox
-    valid = setup.valid
-    packets_full = _build_packets(setup, extra)
+    T = setup.adj.shape[0]
     # FRONT-TO-BACK ordering rides the bin sort key: key = bin << 20 |
     # quantized(1 - zmax), so ONE argsort yields bin-grouped ranges that
     # are near-first within each bin (reverse-Z GREATER) and both tile
@@ -194,38 +226,28 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     # than the chunk bound.  (Replaces a separate z pre-sort + stable
     # bin sort: XLA TPU argsort costs ~25 ms at 260k keys — one sort,
     # not two.)
-    zq = _zq_key(packets_full[:, COL_ZMAX])
+    zq_f = _zq_key(_tri_zmax(setup))
     stats = {}
-    # (extra payload rides inside packets_full, so compaction scatters
-    # it along with the base columns — the fused raster can cap/compact
-    # too; pass-2's exact-id one-hot matches gids in the COMPACTED
-    # array, which stay unique.)
-    if max_visible is not None and max_visible < setup.adj.shape[0]:
-        C = max_visible
-        vpos = jnp.cumsum(valid.astype(jnp.int32)) - 1
-        sel = valid & (vpos < C)
-        stats["visible_overflow"] = (valid.sum() - sel.sum()) \
-            .astype(jnp.int32)
-        dst = jnp.where(sel, vpos, C)
-        packets = jnp.zeros((C, PACKET_F32), jnp.float32) \
-            .at[dst].set(packets_full, mode="drop")
-        bbox = jnp.zeros((C, 4), jnp.int32).at[dst].set(bbox, mode="drop")
-        valid = jnp.zeros((C,), bool).at[dst].set(sel, mode="drop")
-        zq = jnp.full((C,), _ZQ_MAX, jnp.int32).at[dst].set(
-            zq, mode="drop")
-    else:
-        packets = packets_full
-        stats["visible_overflow"] = jnp.int32(0)
-
-    x0, y0, x1, y1 = (bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3])
-    tx0 = x0 // TILE_W
-    ty0 = y0 // TILE_H
-    tx1 = (x1 - 1) // TILE_W          # inclusive
-    ty1 = (y1 - 1) // TILE_H
-    tri_span_w = tx1 - tx0 + 1
-    tri_span_h = ty1 - ty0 + 1
-    small = valid & (tri_span_w <= span_w) & (tri_span_h <= span_h)
-    huge = valid & ~small
+    # ALL key math runs in triangle domain (pure elementwise over T);
+    # compaction and sort act on (key, src) index pairs only, and the
+    # 128-wide packets are built ONCE, by a single gather with composed
+    # (compaction ∘ sort) indices — XLA fuses the column concat INTO
+    # the gather, so the (T, 128) array is never materialized, there is
+    # no 128-wide compaction scatter, and the chunk-union columns are
+    # folded in by a lane select riding the same output pass.  Rows past
+    # a range end hold ARBITRARY packets (dead tris / tail garbage),
+    # which is safe: both pass-1 and pass-2 kernels zero-mask rows
+    # outside [start, start+count), and pass-2 winner gids are global
+    # ROW indices that masked rows can never win.
+    bbf = setup.bbox
+    tx0_f = bbf[:, 0] // TILE_W
+    ty0_f = bbf[:, 1] // TILE_H
+    tx1_f = (bbf[:, 2] - 1) // TILE_W          # inclusive
+    ty1_f = (bbf[:, 3] - 1) // TILE_H
+    sw_f = tx1_f - tx0_f + 1
+    sh_f = ty1_f - ty0_f + 1
+    small_f = setup.valid & (sw_f <= span_w) & (sh_f <= span_h)
+    huge = setup.valid & ~small_f
 
     # --- small: ONE key per triangle ---------------------------------------
     # TWO sub-populations ride one sort (round-3 window-redundancy fix):
@@ -237,25 +259,50 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     # walk (up to span_h*span_w redundant streams per packet) shrinks
     # to the small multi-tile population — measured round 3: the window
     # scan dominated the 148 ms/frame gbuffer rung at 1080p.
-    single = small & (tri_span_w == 1) & (tri_span_h == 1)
-    stats["exact_entries"] = single.sum().astype(jnp.int32)
-    stats["window_entries"] = (small & ~single).sum().astype(jnp.int32)
-    bin_id = ty0 * tx + tx0
-    pop_bin = jnp.where(single, bin_id, ntiles + bin_id)
-    keys = jnp.where(small,
-                     (pop_bin << _ZQ_BITS) | zq,
-                     (2 * ntiles) << _ZQ_BITS).astype(jnp.int32)
+    single_f = small_f & (sw_f == 1) & (sh_f == 1)
+    bin_id = ty0_f * tx + tx0_f
+    pop_bin = jnp.where(single_f, bin_id, ntiles + bin_id)
+    invalid_key = jnp.int32((2 * ntiles) << _ZQ_BITS)
+    key_f = jnp.where(small_f,
+                      (pop_bin << _ZQ_BITS) | zq_f,
+                      invalid_key).astype(jnp.int32)
+    arange_t = jnp.arange(T, dtype=jnp.int32)
+    # The sorted array carries one extra DMA chunk of tail slots (the
+    # kernels read chunk-aligned ranges and may touch up to CHUNK-1
+    # rows past a range end) — allocated HERE as always-invalid key
+    # slots instead of a post-gather zero-pad concat (a concat is a
+    # second full materialization).
+    if max_visible is not None and max_visible < T:
+        C = max_visible
+        vpos = jnp.cumsum(small_f.astype(jnp.int32)) - 1
+        sel = small_f & (vpos < C)
+        stats["visible_overflow"] = (small_f.sum() - sel.sum()) \
+            .astype(jnp.int32)
+        stats["exact_entries"] = (single_f & sel).sum().astype(jnp.int32)
+        stats["window_entries"] = (sel & ~single_f).sum() \
+            .astype(jnp.int32)
+        dst = jnp.where(sel, vpos, C + CHUNK)
+        keys = jnp.full((C + CHUNK,), invalid_key).at[dst].set(
+            key_f, mode="drop")
+        src = jnp.zeros((C + CHUNK,), jnp.int32).at[dst].set(
+            arange_t, mode="drop")
+    else:
+        stats["visible_overflow"] = jnp.int32(0)
+        stats["exact_entries"] = single_f.sum().astype(jnp.int32)
+        stats["window_entries"] = (small_f & ~single_f).sum() \
+            .astype(jnp.int32)
+        keys = jnp.concatenate(
+            [key_f, jnp.full((CHUNK,), invalid_key)])
+        src = jnp.concatenate([arange_t, jnp.zeros((CHUNK,), jnp.int32)])
     order = jnp.argsort(keys, stable=False)
     sorted_keys = keys[order] >> _ZQ_BITS
+    fidx = src[order]
 
-    packets_sorted = packets[order]
-    # Pad one DMA chunk: the kernel reads chunk-aligned ranges and may
-    # touch up to CHUNK-1 rows past a range end.
-    packets_sorted = jnp.concatenate(
-        [packets_sorted, jnp.zeros((CHUNK, PACKET_F32), jnp.float32)])
-    packets_sorted = _pack_chunk_unions(
-        packets_sorted, tx0[order], ty0[order], tx1[order], ty1[order],
-        sorted_keys < 2 * ntiles)
+    ux, uy = _chunk_union_cols(
+        fidx.shape[0], tx0_f[fidx], ty0_f[fidx], tx1_f[fidx],
+        ty1_f[fidx], sorted_keys < 2 * ntiles)
+    packets_sorted = _fold_union_cols(
+        _build_packets(setup, extra)[fidx], ux, uy)
     starts = jnp.searchsorted(sorted_keys,
                               jnp.arange(2 * ntiles + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)
@@ -272,12 +319,12 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     hsel = huge & (hidx < huge_cap)
     alloc = -(-max(huge_cap, 1) // CHUNK) * CHUNK
     slots = jnp.where(hsel, hidx, alloc)
-    huge_packets = jnp.zeros((alloc, PACKET_F32), jnp.float32)
-    huge_packets = huge_packets.at[slots].set(packets, mode="drop")
-    hbb = jnp.full((alloc, 4), -1, jnp.int32).at[slots].set(bbox,
+    hsrc = jnp.zeros((alloc,), jnp.int32).at[slots].set(arange_t,
+                                                        mode="drop")
+    hbb = jnp.full((alloc, 4), -1, jnp.int32).at[slots].set(bbf,
                                                             mode="drop")
     hzq = jnp.full((alloc,), _ZQ_MAX, jnp.int32).at[slots].set(
-        zq, mode="drop")
+        zq_f, mode="drop")
     n_huge = huge.sum()
     huge_count = jnp.minimum(n_huge, huge_cap).astype(jnp.int32)
     stats["huge_overflow"] = jnp.maximum(
@@ -295,15 +342,21 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     pair_keys = jnp.where(pair_mask,
                           (rows << _ZQ_BITS) | hzq[:, None],
                           ty << _ZQ_BITS).reshape(-1)
+    # One tail DMA chunk of always-dead pair slots (same contract as the
+    # small array — no post-gather pad concat).
+    pair_keys = jnp.concatenate(
+        [pair_keys, jnp.full((CHUNK,), ty << _ZQ_BITS)])
     order_h = jnp.argsort(pair_keys, stable=False)
-    pair_slot = (jnp.arange(alloc * ty, dtype=jnp.int32) // ty)[order_h]
-    huge_rows = huge_packets[pair_slot]
-    huge_rows = jnp.concatenate(
-        [huge_rows, jnp.zeros((CHUNK, PACKET_F32), jnp.float32)])
+    pair_slot = jnp.minimum(order_h // ty, alloc - 1)
+    # Materialize the tiny (alloc, 128) huge population once via the
+    # per-column gathered build (alloc <= ~1k: per-op cost only), then
+    # row-expand with a cheap contiguous-row gather.
     sorted_rows = pair_keys[order_h] >> _ZQ_BITS
-    huge_rows = _pack_chunk_unions(
-        huge_rows, htx0[pair_slot], hty0[pair_slot], htx1[pair_slot],
-        hty1[pair_slot], sorted_rows < ty)
+    hux, huy = _chunk_union_cols(
+        pair_slot.shape[0], htx0[pair_slot], hty0[pair_slot],
+        htx1[pair_slot], hty1[pair_slot], sorted_rows < ty)
+    huge_rows = _fold_union_cols(
+        _build_packets(setup, extra, idx=hsrc)[pair_slot], hux, huy)
     huge_row_starts = jnp.searchsorted(
         sorted_rows, jnp.arange(ty + 1, dtype=jnp.int32),
         side="left").astype(jnp.int32)

@@ -26,14 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 VARIANTS = [
+    # Round-4 late set: the lighting rung is +48.3 ms at the compaction
+    # bench config (ladder 127.8); split it by term.
     ("full (bench config)", {}),
-    ("clusterShadowHalfRes off (full-res term)",
-     {"clusteredLightsShadowsHalfRes": False}),
-    ("fusedShade off (classic XLA shade)", {"fusedShade": False}),
-    ("halfRes off + fusedShade off",
-     {"clusteredLightsShadowsHalfRes": False, "fusedShade": False}),
-    ("clusteredLightsShadows off", {"clusteredLightsShadows": False}),
+    ("envSpecularHalfRes on (pending A/B)", {"envSpecularHalfRes": True}),
+    ("directionalLightShadows off (sun PCF term)",
+     {"directionalLightShadows": False}),
+    ("clusteredLightsShadows off (half-res term cost)",
+     {"clusteredLightsShadows": False}),
     ("envTileSampler off", {"envTileSampler": False}),
+    ("shadowTermHalfRes on", {"shadowTermHalfRes": True}),
 ]
 
 
@@ -57,7 +59,9 @@ def main():
         if args.only and args.only not in label:
             continue
         cfg = {"renderer": "deferred", "hdrBloom": True,
-               "shadowMapResolution": 2048, **overrides}
+               "shadowMapResolution": 2048,
+               "rasterMaxVisible": 163840,   # mirror bench.py's config
+               **overrides}
         with tempfile.NamedTemporaryFile("w", suffix=".json",
                                          delete=False) as f:
             json.dump(cfg, f)
