@@ -47,7 +47,13 @@ def bench_deferred_hdr(width=1920, height=1080, frames=12,
            # 163840 keeps 29% headroom and nearly halves the per-frame
            # composite-key argsort.  Measured 136.2 -> 127.9 ms/frame
            # with bit-identical plane means (no drops).
-           "rasterMaxVisible": 163840}
+           "rasterMaxVisible": 163840,
+           # Sun PCF term at half res + bilinear upsample: -9.6 ms/frame
+           # (119.3 -> 109.7, round-4 light_ablate).  Same quality trade
+           # the clustered-light shadow term already takes (default
+           # half-res); 2-px quantization of shadow edge positions,
+           # documented in PARITY.md.
+           "shadowTermHalfRes": True}
     if safe:
         # Fallback mode (see main): newest Pallas paths off so a kernel
         # regression can never leave the round without a number.

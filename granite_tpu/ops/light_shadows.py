@@ -134,15 +134,56 @@ def _light_sample_coords(world_pos, vps_np, slice0: int, kind: int,
     Returns (flat_idx, z_ref, fx, fy, inside)."""
     S = size
     if kind == 1:
+        # CLOSED-FORM cube-face projection.  Every face shares the one
+        # perspective(pi/2, 1, near, radius) matrix, and each face view
+        # is an axis permutation/sign of d = p - light_pos (FACE_DIRS/
+        # FACE_UPS are unit axes, so look_at's rows are exact +-axes) —
+        # algebraically identical to the 6 per-pixel matrix transforms
+        # + select tree this replaces, at ~1/4 the VPU work (8 point
+        # lights x 6 transforms dominated the clustered-shadow term's
+        # ALU).  Derivation per face (camera x_c, y_c; z_c = -|d_major|):
+        #   +X: ( dz, dy)  -X: (-dz, dy)
+        #   +Y: ( dx, dz)  -Y: ( dx,-dz)
+        #   +Z: (-dx, dy)  -Z: ( dx, dy)
+        # u = 0.5*x_c/w + 0.5, v = 0.5*(-y_c)/w + 0.5 (Vulkan Y-flip),
+        # z = -m22 + m23/w with w = -z_c = |d_major| = max component.
         d = world_pos - jnp.asarray(light_pos_np)
         face = _face_index(d)
-        xyzw = None
-        for f in range(6):
-            m = jnp.asarray(vps_np[slice0 + f])
-            cand = world_pos @ m[:, :3].T + m[:, 3]
-            xyzw = cand if xyzw is None else \
-                jnp.where((face == f)[..., None], cand, xyzw)
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+        is_x = face < 2
+        is_y = (face == 2) | (face == 3)
+        neg = (face & 1) == 1                 # faces 1, 3, 5
+        # x_c: +-dz on X faces, dx elsewhere except -dx on +Z (face 4).
+        x_c = jnp.where(is_x, jnp.where(neg, -dz, dz),
+                        jnp.where(face == 4, -dx, dx))
+        # y_c: +-dz on Y faces, dy elsewhere.
+        y_c = jnp.where(is_y, jnp.where(neg, -dz, dz), dy)
+        w = jnp.maximum(jnp.maximum(jnp.abs(dx), jnp.abs(dy)),
+                        jnp.maximum(jnp.abs(dz), 1e-9))
+        # Reverse-Z terms of the shared face projection P (muglm
+        # perspective with zfar=radius): z = -m22 + m23 / w (z_c = -w).
+        # Recovered host-side from face 0's VP = P @ V:
+        # VP[2, :3] = -m22 * f  (f unit)  ->  m22 = |VP[2, :3]|;
+        # VP[2, 3]  = m22 * (f . pos) + m23 = -VP[2, :3] . pos + m23.
+        _row = np.asarray(vps_np[slice0])[2]
+        m22 = float(np.linalg.norm(_row[:3]))
+        m23 = float(_row[3] + _row[:3]
+                    @ np.asarray(light_pos_np, np.float32))
+        inv_w = 1.0 / w
+        u = 0.5 * x_c * inv_w + 0.5
+        v = -0.5 * y_c * inv_w + 0.5
+        z = -m22 + m23 * inv_w
         slice_id = slice0 + face
+        x = u * S - 0.5
+        y = v * S - 0.5
+        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, S - 1)
+        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, S - 1)
+        fx = jnp.clip(x - x0.astype(x.dtype), 0.0, 1.0)
+        fy = jnp.clip(y - y0.astype(y.dtype), 0.0, 1.0)
+        flat = (slice_id * S + y0) * S + x0
+        inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) \
+            & (z >= 0.0) & (z <= 1.0)
+        return flat, z, fx, fy, inside
     else:
         m = jnp.asarray(vps_np[slice0])
         xyzw = world_pos @ m[:, :3].T + m[:, 3]
