@@ -61,6 +61,7 @@ def main():
         cfg = {"renderer": "deferred", "hdrBloom": True,
                "shadowMapResolution": 2048,
                "rasterMaxVisible": 163840,   # mirror bench.py's config
+               "shadowTermHalfRes": True,
                **overrides}
         with tempfile.NamedTemporaryFile("w", suffix=".json",
                                          delete=False) as f:
