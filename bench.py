@@ -123,34 +123,48 @@ PROBE_SRC = (
 )
 
 
-def tunnel_probe(timeout_s: float = 120.0, attempts: int = 3,
-                 backoff_s: float = 60.0) -> bool:
-    """1-op jit in a subprocess, bounded, with retry.
+def tunnel_probe(timeout_s: float = 150.0, budget_s: float = 2700.0,
+                 backoff_s: float = 30.0) -> bool:
+    """1-op jit in a subprocess, retried against a WALL-CLOCK budget.
 
     Round-3 lesson (BENCH_r03 rc=124): with the axon tunnel dead, the
     first real compile hangs/burns ~25 min and the driver's whole
     window times out with nothing diagnostic recorded.  Probe first;
     on failure the caller prints a parseable error line and exits
-    non-zero within minutes.
+    non-zero.
 
-    Round-4 lesson: the tunnel serves ONE client; a probe racing a
-    previous process's teardown times out TRANSIENTLY (and a SIGKILLed
-    probe can wedge the next client too).  Retrying with a backoff
-    distinguishes contention from a dead tunnel."""
+    Round-4 lesson (BENCH_r04 rc=1): 3 attempts x 120 s gave up after
+    ~8.5 minutes of a MULTI-HOUR driver window and lost the round's
+    only perf number to a transient outage.  The probe now persists:
+    retry every ~2.5-3 min for up to `budget_s` (default 45 min)
+    before declaring the tunnel dead.  The tunnel serves ONE client;
+    a probe racing a previous process's teardown times out
+    TRANSIENTLY, and mid-round outages have recovered within tens of
+    minutes (round-4 hardware day) — patience is cheap, a lost round
+    is not."""
     import subprocess
     import time as _time
-    for i in range(attempts):
-        if i:
-            _time.sleep(backoff_s)
+    deadline = _time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
         try:
             proc = subprocess.run([sys.executable, "-c", PROBE_SRC],
                                   capture_output=True, text=True,
                                   timeout=timeout_s)
+            if "probe ok" in (proc.stdout or ""):
+                if attempt > 1:
+                    print(f"tunnel probe ok on attempt {attempt}",
+                          file=sys.stderr)
+                return True
         except subprocess.TimeoutExpired:
-            continue
-        if "probe ok" in (proc.stdout or ""):
-            return True
-    return False
+            pass
+        remaining = deadline - _time.monotonic()
+        if remaining <= backoff_s:
+            return False
+        print(f"tunnel probe attempt {attempt} failed; "
+              f"{remaining / 60:.1f} min of budget left", file=sys.stderr)
+        _time.sleep(backoff_s)
 
 
 def main() -> int:
@@ -161,7 +175,7 @@ def main() -> int:
         # Dead tunnel: fail fast with a diagnostic JSON tail the driver
         # records, instead of timing out rc=124 with nothing.
         print(json.dumps({"error": "tunnel-unavailable",
-                          "detail": "1-op jit probe failed in 120s"}))
+                          "detail": "1-op jit probe failed for 45 min"}))
         return 1
     try:
         result = bench_deferred_hdr(safe=safe)

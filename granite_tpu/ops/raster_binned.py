@@ -84,9 +84,11 @@ def _zq_key(zmax: jax.Array) -> jax.Array:
 
 
 def _chunk_union_cols(n: int, tx0, ty0, tx1, ty1, n_valid_key):
-    """Per-16-row-group bbox unions as two (n + CHUNK, 1) f32 COLUMNS
-    (values on rows 0::16, zero elsewhere — including the CHUNK pad
-    rows, which hold zero packets the kernels mask out-of-range).
+    """Per-16-row-group bbox unions as two (n, 1) f32 COLUMNS (n as
+    passed already includes the CHUNK pad; values on rows 0::16, zero
+    elsewhere).  Pad/tail rows carry always-invalid keys and ARBITRARY
+    gathered packet bytes (triangle 0 / dead tris) — kernels must
+    range-mask them out, as bin_triangles' contract documents.
 
     tx0.. are the per-row tile bboxes IN SORTED ORDER (invalid rows —
     key >= n_valid_key — contribute empty boxes).  The kernels read the
@@ -148,10 +150,12 @@ def _tri_zmax(setup: TriangleSetup) -> jax.Array:
     return jnp.minimum(zm, 1.0)
 
 
-def _build_packets(setup: TriangleSetup, extra=None, idx=None,
-                   width: int = PACKET_F32) -> jax.Array:
-    """(T, width) f32 packets; slot 20 holds the int32 tri id (bitcast);
-    slot COL_ZMAX the conservative max depth (early-z sort key).
+def _build_packets(setup: TriangleSetup, extra=None, idx=None) -> jax.Array:
+    """(T, PACKET_F32) f32 packets; slot 20 holds the int32 tri id
+    (bitcast); slot COL_ZMAX the conservative max depth (early-z sort
+    key).  The chunk-union columns (COL_UNION_X/_Y) are left zero here
+    and folded in SORTED order by the binner via the lane select in
+    `bin_triangles` (they cannot be built in triangle domain).
 
     extra: optional (T, E<=99) resolve payload placed at columns 21..
     (the fused raster+resolve kernel, ops/raster_fused.py).
@@ -160,11 +164,7 @@ def _build_packets(setup: TriangleSetup, extra=None, idx=None,
     (row i holds triangle idx[i]; slot 20 = idx[i]).  Per-column
     gathers: only worth it for SMALL N (the huge list); at C=164k one
     fused concat-gather (`_build_packets(...)[fidx]`) measured 14.7 ms
-    vs 17.9 for this form.
-
-    width: build only columns [0, width) — the binner passes
-    COL_UNION_X and concatenates the two sorted-domain chunk-union
-    columns itself (they cannot be built in triangle domain)."""
+    vs 17.9 for this form."""
     T = setup.adj.shape[0]
     if idx is None:
         ids = jnp.arange(T, dtype=jnp.int32)
@@ -185,8 +185,7 @@ def _build_packets(setup: TriangleSetup, extra=None, idx=None,
     assert used <= COL_ZMAX
     cols.append(jnp.zeros((N, COL_ZMAX - used), jnp.float32))
     cols.append(g(_tri_zmax(setup))[:, None])
-    assert width > COL_ZMAX
-    cols.append(jnp.zeros((N, width - COL_ZMAX - 1), jnp.float32))
+    cols.append(jnp.zeros((N, PACKET_F32 - COL_ZMAX - 1), jnp.float32))
     return jnp.concatenate(cols, axis=1)
 
 

@@ -35,7 +35,10 @@ VARIANTS = [
     ("clusteredLightsShadows off (half-res term cost)",
      {"clusteredLightsShadows": False}),
     ("envTileSampler off", {"envTileSampler": False}),
-    ("shadowTermHalfRes on", {"shadowTermHalfRes": True}),
+    # The base config (mirroring bench.py) already sets
+    # shadowTermHalfRes=True, so the A/B must toggle it OFF.
+    ("shadowTermHalfRes off (full-res sun term)",
+     {"shadowTermHalfRes": False}),
 ]
 
 
