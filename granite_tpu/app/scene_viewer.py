@@ -118,6 +118,15 @@ class ViewerConfig:
     # triangle count, rounded up to 8192, growing monotonically (the
     # graph retraces only when the capacity bucket grows).
     raster_max_visible: int | str = 0
+    # Cached binning plan (ops/raster_binned.BinPlan): freeze the
+    # fused raster's sort permutation / bin ranges / static payload
+    # lanes across frames and re-bin only when a triangle's tile cover
+    # escapes the plan (classified on current+predicted-future camera).
+    # "auto" = on whenever the fused raster runs and the resolve
+    # payload is frame-invariant (no animation/morph/skinning, no
+    # ocean/ground displacement, fixed rasterMaxVisible); true/false
+    # force it (true still requires the invariance conditions).
+    bin_plan_cache: str = "auto"
     # MeshEncoding (resource_manager.hpp:85-92): "meshlet" re-encodes
     # static meshes through the MLT2 codec at load and decodes at
     # instantiation (MeshletDecoded); "classic" keeps raw SoA.
@@ -183,6 +192,7 @@ class ViewerConfig:
             "envSpecularHalfRes": "env_specular_half_res",
             "fusedShade": "fused_shade",
             "rasterMaxVisible": "raster_max_visible",
+            "binPlanCache": "bin_plan_cache",
             "meshEncoding": "mesh_encoding",
             "shadowTermHalfRes": "shadow_term_half_res",
             "textureBudgetMB": "texture_budget_mb",
@@ -634,6 +644,10 @@ class SceneViewerApplication(Application):
 
     # -- graph -----------------------------------------------------------------
     CLUSTER_Z_SLICES = 32
+    # Cached-binning-plan camera lookahead (frames): the plan is
+    # classified on current ∪ predicted(+K) tile rects, so it survives
+    # ~K frames of coherent motion before the cover check re-bins.
+    BIN_PLAN_LOOKAHEAD = 4
     CLUSTER_TILE = 64
     LIGHT_CAPACITY = 32
     DECAL_CAPACITY = 16
@@ -782,6 +796,23 @@ class SceneViewerApplication(Application):
                 fogp.add_texture_input("shadow-depth")
             fogp.set_execute(self._fog_volume_pass)
 
+        # Cached binning plan (ops/raster_binned.BinPlan): carried as
+        # render-graph history so the fused raster re-bins only when a
+        # triangle's tile cover escapes the plan.  Requires the resolve
+        # payload to be frame-invariant — see the Config knob doc.
+        import os as _os
+        fused_on = (jax.default_backend() != "cpu"
+                    or bool(_os.environ.get("GRANITE_FORCE_FUSED_RASTER"))) \
+            and not _os.environ.get("GRANITE_DISABLE_FUSED_RASTER")
+        self._bin_plan_enabled = (
+            str(self.config.bin_plan_cache).lower() != "false"
+            and fused_on
+            and not self.animation_system.states
+            and self.ocean is None and self.ground is None
+            and self.config.raster_max_visible != "auto"
+            and not self.config.occlusion_culling)
+        self._pending_bin_plan = None
+
         if self.config.renderer == "deferred":
             # G-buffer pass (scene_viewer_application.cpp:876 deferred
             # geometry) then a lighting resolve (directional.frag +
@@ -807,6 +838,7 @@ class SceneViewerApplication(Application):
                 gb.add_storage_output(
                     "vis-history",
                     BufferInfo((self.packed.num_objects,), jnp.bool_))
+            self._declare_bin_plan(gb)
             gb.set_execute(self.renderer_suite.main_geometry_renderer(
                 deferred=True, motion_vectors=self._use_taa))
             if self.config.ssao:
@@ -868,6 +900,7 @@ class SceneViewerApplication(Application):
                 forward.add_storage_output(
                     "vis-history",
                     BufferInfo((self.packed.num_objects,), jnp.bool_))
+            self._declare_bin_plan(forward)
             forward.set_execute(self.renderer_suite.main_geometry_renderer(
                 deferred=False, motion_vectors=self._use_taa))
 
@@ -1086,6 +1119,27 @@ class SceneViewerApplication(Application):
             p["transparent_mask"], p, width=self._rw, height=self._rh,
             world_pos=wpos, world_normal=wnrm, world_tangent=wtan, **kw)
 
+    def _resolved_max_visible(self):
+        mv_cfg = self.config.raster_max_visible
+        mv = (int(getattr(self, "_auto_max_visible", 0))
+              if mv_cfg == "auto" else int(mv_cfg))
+        return mv if mv > 0 else None
+
+    def _declare_bin_plan(self, p) -> None:
+        """History in + storage out for every BinPlan leaf (the cached
+        binning plan rides the graph's history mechanism like TAA
+        history / vis-history)."""
+        if not self._bin_plan_enabled:
+            return
+        from ..ops.raster_binned import bin_plan_shapes
+        shapes = bin_plan_shapes(int(self.packed.indices.shape[0]),
+                                 self._rw, self._rh,
+                                 max_visible=self._resolved_max_visible())
+        for k, (s, d) in shapes.items():
+            name = f"bin-plan-{k}"
+            p.add_history_input(name)
+            p.add_storage_output(name, BufferInfo(s, d))
+
     def _raster_surface(self, ctx):
         p = ctx.params
         scene = self._scene_of(ctx)
@@ -1135,21 +1189,41 @@ class SceneViewerApplication(Application):
         else:
             prev_wpos = self._prev_world_positions(ctx, scene)
             import os as _os
-            if jax.default_backend() != "cpu" and not _os.environ.get(
-                    "GRANITE_DISABLE_FUSED_RASTER"):
+            if (jax.default_backend() != "cpu"
+                or _os.environ.get("GRANITE_FORCE_FUSED_RASTER")) \
+                    and not _os.environ.get(
+                        "GRANITE_DISABLE_FUSED_RASTER"):
                 # Fused Pallas raster+resolve (ops/raster_fused.py):
                 # the per-pixel packed-row gather and interpolation move
                 # into the tile kernel (one-hot MXU fetch).
                 from ..renderer.scene_renderer import fused_raster_surface
-                mv_cfg = self.config.raster_max_visible
-                mv = (int(getattr(self, "_auto_max_visible", 0))
-                      if mv_cfg == "auto" else int(mv_cfg))
-                return fused_raster_surface(
+                bin_plan = None
+                future_clip_fn = None
+                if self._bin_plan_enabled:
+                    from ..ops.raster_binned import BinPlan
+                    bin_plan = BinPlan(**{
+                        k: ctx.history(f"bin-plan-{k}")
+                        for k in BinPlan._fields})
+                    vpf = p.get("view_proj_future", p["view_proj"])
+
+                    def future_clip_fn():
+                        c, *_ = transform_vertices(
+                            scene, ctx.input("world"),
+                            ctx.input("normal_mats"), vpf,
+                            skin_palette=p.get("skin_palette"),
+                            morph_weights=p.get("morph_weights"))
+                        return c
+                res = fused_raster_surface(
                     scene, clip, object_mask, wpos, wnrm, wtan,
                     self._rw, self._rh, lod_bias=self.config.lod_bias,
                     prev_world_pos=prev_wpos,
-                    max_visible=mv if mv > 0 else None,
-                    material_textures=self.config.material_textures)
+                    max_visible=self._resolved_max_visible(),
+                    material_textures=self.config.material_textures,
+                    bin_plan=bin_plan, future_clip_fn=future_clip_fn)
+                if bin_plan is not None:
+                    surf, depth, self._pending_bin_plan = res
+                    return surf, depth
+                return res
             setup, depth, tri = rasterize_scene(
                 scene, clip, object_mask, self._rw, self._rh)
             surf = surface_attributes(
@@ -1387,9 +1461,17 @@ class SceneViewerApplication(Application):
         out = {"hdr": color, "depth-main": depth}
         if self.config.occlusion_culling:
             out["vis-history"] = self._pending_vis_history
+        self._emit_bin_plan(out)
         if self._use_taa:
             out["mv"] = self._motion_vectors(ctx, surf, depth)
         return out
+
+    def _emit_bin_plan(self, out: dict) -> None:
+        if getattr(self, "_bin_plan_enabled", False) and \
+                self._pending_bin_plan is not None:
+            from ..ops.raster_binned import BinPlan
+            for k in BinPlan._fields:
+                out[f"bin-plan-{k}"] = getattr(self._pending_bin_plan, k)
 
     def _gbuffer_pass(self, ctx):
         surf, depth = self._raster_surface(ctx)
@@ -1401,6 +1483,7 @@ class SceneViewerApplication(Application):
                "depth-main": depth, "g-covered": surf["covered"]}
         if self.config.occlusion_culling:
             out["vis-history"] = self._pending_vis_history
+        self._emit_bin_plan(out)
         if self._use_taa:
             out["mv"] = self._motion_vectors(ctx, surf, depth)
         return out
@@ -1929,6 +2012,20 @@ class SceneViewerApplication(Application):
                 dynamic_shadow_mask),
             "frame_time": jnp.float32(frame_time),
         }
+        if getattr(self, "_bin_plan_enabled", False):
+            # Predicted-future camera for the cached binning plan:
+            # linear extrapolation of the view-proj entries K frames
+            # ahead.  Prediction quality only affects re-bin frequency
+            # (the per-frame cover check enforces correctness);
+            # render_frames_chained overrides this bank with the REAL
+            # future cameras (stack_orbit_params).
+            vp = np.asarray(self.context.view_projection, np.float32)
+            prev = getattr(self, "_bin_plan_prev_vp", None)
+            fut = vp + self.BIN_PLAN_LOOKAHEAD * (vp - prev) \
+                if prev is not None else vp
+            self._bin_plan_prev_vp = vp
+            params["view_proj_future"] = jnp.asarray(
+                fut.astype(np.float32))
         if self._use_taa:
             # Previous-frame transforms for per-object motion vectors;
             # first frame reprojects onto itself (mv = 0).
@@ -2222,6 +2319,16 @@ class SceneViewerApplication(Application):
                     self.CLUSTER_TILE))
         self.camera.position = saved_pos
         self.camera.rotation = saved_rot
+        if "view_proj_future" in params:
+            # Real future cameras for the cached binning plan — the
+            # chain KNOWS frame i+K's view-proj; the union-of-endpoints
+            # classification then dilates each triangle's cover by its
+            # ACTUAL motion only (no blind guard band).
+            K = self.BIN_PLAN_LOOKAHEAD
+            params.pop("view_proj_future")
+            stacked["view_proj_future"] = jnp.asarray(np.stack(
+                [banks["view_proj"][min(i + K, n - 1)]
+                 for i in range(n)]))
         for k, v in banks.items():
             params.pop(k)
             stacked[k] = jnp.asarray(np.stack(v))

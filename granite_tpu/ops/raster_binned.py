@@ -35,6 +35,7 @@ top-left rule, same reverse-Z GREATER test) — tested against it.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,71 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .raster import TriangleSetup
+
+
+class BinPlan(NamedTuple):
+    """Cached binning plan — the TPU answer to the reference's per-frame
+    draw-call sort (render_queue.cpp:41-58): a static scene under a
+    slowly moving camera re-derives the SAME bin structure every frame,
+    so the sort permutation, bin ranges, and static payload lanes are
+    computed once (classified on the union of the current and a
+    predicted-future camera's tile rects) and carried as render-graph
+    history; each frame runs a cheap conservative validity check and
+    only re-bins (lax.cond) when a triangle's actual tile cover escapes
+    what the plan's kernels would scan.  Kills the per-frame argsort
+    (~16 ms at 164k keys) and 128-lane packet gather (~15 ms) that
+    dominated the gbuffer rung (round-4 ladder).
+
+    Shapes (Cp = compaction capacity + CHUNK, Ph = alloc*tiles_y +
+    CHUNK):
+      flag        (1,)   i32  — 0 = no plan yet (initial history)
+      payload     (Cp, 128) f32 — nan-cleaned sorted packet image; the
+                  fast path reuses its STATIC lanes (triid + resolve
+                  payload past the adjugate) and rebuilds the per-frame
+                  lanes (edges/zplane/offset/adj/zmax/unions)
+      src         (Cp,)  i32  — source triangle per sorted row
+      rect        (Cp, 4) i32 — planned cover rect (inclusive tile
+                  coords) the kernels actually scan for this row
+      starts      (2*ntiles+1,) i32
+      member      (T,)   i32  — 0 none / 1 small / 2 huge at plan time
+      huge_src    (alloc,) i32
+      huge_slot   (Ph,)  i32
+      huge_starts (tiles_y+1,) i32
+      huge_cover  (alloc, 2) i32 — planned row span per huge slot
+    """
+    flag: jax.Array
+    payload: jax.Array
+    src: jax.Array
+    rect: jax.Array
+    starts: jax.Array
+    member: jax.Array
+    huge_src: jax.Array
+    huge_slot: jax.Array
+    huge_starts: jax.Array
+    huge_cover: jax.Array
+
+
+def bin_plan_shapes(T: int, width: int, height: int,
+                    huge_cap: int = 1024,
+                    max_visible: int | None = None) -> dict:
+    """name -> (shape, dtype) for declaring BinPlan history buffers."""
+    tx = -(-width // TILE_W)
+    ty = -(-height // TILE_H)
+    C = max_visible if (max_visible is not None and max_visible < T) \
+        else T
+    alloc = -(-max(huge_cap, 1) // CHUNK) * CHUNK
+    return {
+        "flag": ((1,), jnp.int32),
+        "payload": ((C + CHUNK, PACKET_F32), jnp.float32),
+        "src": ((C + CHUNK,), jnp.int32),
+        "rect": ((C + CHUNK, 4), jnp.int32),
+        "starts": ((2 * tx * ty + 1,), jnp.int32),
+        "member": ((T,), jnp.int32),
+        "huge_src": ((alloc,), jnp.int32),
+        "huge_slot": ((alloc * ty + CHUNK,), jnp.int32),
+        "huge_starts": ((ty + 1,), jnp.int32),
+        "huge_cover": ((alloc, 2), jnp.int32),
+    }
 
 TILE_H = 32
 TILE_W = 128
@@ -79,8 +145,14 @@ ZQ_PAD = 2.0 ** -(_ZQ_BITS - 1)
 
 
 def _zq_key(zmax: jax.Array) -> jax.Array:
-    """Ascending i32 key: nearest (largest reverse-Z zmax) first."""
-    return (jnp.clip(1.0 - zmax, 0.0, 1.0) * _ZQ_MAX).astype(jnp.int32)
+    """Ascending i32 key: nearest (largest reverse-Z zmax) first.
+
+    nan_to_num: a plan-covered triangle that is only valid under the
+    FUTURE camera can have a garbage current-frame z plane; a NaN here
+    would corrupt the composite key's BIN bits (NaN->i32 cast is
+    backend-defined), not just its z order."""
+    z = jnp.nan_to_num(1.0 - zmax, nan=1.0, posinf=1.0, neginf=0.0)
+    return (jnp.clip(z, 0.0, 1.0) * _ZQ_MAX).astype(jnp.int32)
 
 
 def _chunk_union_cols(n: int, tx0, ty0, tx1, ty1, n_valid_key):
@@ -189,6 +261,27 @@ def _build_packets(setup: TriangleSetup, extra=None, idx=None) -> jax.Array:
     return jnp.concatenate(cols, axis=1)
 
 
+def _tile_rects(bbox, width: int, height: int):
+    """Pixel bbox (T, 4) -> inclusive tile rect (tx0, ty0, tx1, ty1).
+
+    Empty bboxes (x1 <= x0, the invalid-triangle encoding from
+    setup_triangles) produce tx1 < tx0 — an empty rect callers must
+    mask by validity."""
+    return (bbox[:, 0] // TILE_W, bbox[:, 1] // TILE_H,
+            (bbox[:, 2] - 1) // TILE_W, (bbox[:, 3] - 1) // TILE_H)
+
+
+def _kill_dead_rows(pkts: jax.Array, alive: jax.Array) -> jax.Array:
+    """Zero every lane of rows where ~alive and set edge-0's constant
+    (lane 2) to -1, making coverage identically false (lam = -1, and
+    a = b = 0 fails the top-left tie rule).  Keeps 0 * garbage out of
+    the pass-2 one-hot MXU accumulation — any NaN lane there poisons
+    the band accumulator (CLAUDE.md round-2 incident rule)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, pkts.shape[1]), 1)
+    dead = jnp.where(lane == 2, -1.0, 0.0)
+    return jnp.where(alive[:, None], pkts, dead)
+
+
 def bin_triangles(setup: TriangleSetup, width: int, height: int,
                   huge_cap: int = 1024, max_visible: int | None = None,
                   span_w: int = SPAN_W, span_h: int = SPAN_H,
@@ -212,6 +305,30 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     factor.  SMALL triangles beyond the capacity are DROPPED and
     counted (huge triangles compact independently against huge_cap).
     """
+    pk, st, hr, hs, _plan, stats = _bin_core(
+        setup, width, height, huge_cap, max_visible, span_w, span_h,
+        extra, class_rects=None, valid_any=None, valid_now=None,
+        emit_plan=False)
+    return pk, st, hr, hs, stats
+
+
+def _bin_core(setup: TriangleSetup, width: int, height: int,
+              huge_cap: int, max_visible: int | None,
+              span_w: int, span_h: int, extra,
+              class_rects, valid_any, valid_now, emit_plan: bool):
+    """bin_triangles body, parameterized for the cached-plan path.
+
+    class_rects: optional (tx0, ty0, tx1, ty1) tile rects used for
+    CLASSIFICATION (exact/window/huge + bin origin) instead of the
+    current-frame rects — the plan builder passes the union of the
+    current and predicted-future rects so the resulting plan stays a
+    conservative cover for several frames of camera motion.
+    valid_any: classification validity (current | future);
+    valid_now: this frame's validity — rows of tris not valid NOW are
+    kill-masked in the emitted packets (they exist only so the plan
+    covers them later).  Both default to setup.valid.
+    emit_plan: also build the BinPlan arrays (see BinPlan).
+    """
     tx = -(-width // TILE_W)
     ty = -(-height // TILE_H)
     ntiles = tx * ty
@@ -227,6 +344,8 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     # not two.)
     zq_f = _zq_key(_tri_zmax(setup))
     stats = {}
+    if valid_any is None:
+        valid_any = setup.valid
     # ALL key math runs in triangle domain (pure elementwise over T);
     # compaction and sort act on (key, src) index pairs only, and the
     # 128-wide packets are built ONCE, by a single gather with composed
@@ -239,14 +358,14 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     # outside [start, start+count), and pass-2 winner gids are global
     # ROW indices that masked rows can never win.
     bbf = setup.bbox
-    tx0_f = bbf[:, 0] // TILE_W
-    ty0_f = bbf[:, 1] // TILE_H
-    tx1_f = (bbf[:, 2] - 1) // TILE_W          # inclusive
-    ty1_f = (bbf[:, 3] - 1) // TILE_H
+    if class_rects is None:
+        tx0_f, ty0_f, tx1_f, ty1_f = _tile_rects(bbf, width, height)
+    else:
+        tx0_f, ty0_f, tx1_f, ty1_f = class_rects
     sw_f = tx1_f - tx0_f + 1
     sh_f = ty1_f - ty0_f + 1
-    small_f = setup.valid & (sw_f <= span_w) & (sh_f <= span_h)
-    huge = setup.valid & ~small_f
+    small_f = valid_any & (sw_f <= span_w) & (sh_f <= span_h)
+    huge = valid_any & ~small_f
 
     # --- small: ONE key per triangle ---------------------------------------
     # TWO sub-populations ride one sort (round-3 window-redundancy fix):
@@ -300,8 +419,17 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     ux, uy = _chunk_union_cols(
         fidx.shape[0], tx0_f[fidx], ty0_f[fidx], tx1_f[fidx],
         ty1_f[fidx], sorted_keys < 2 * ntiles)
-    packets_sorted = _fold_union_cols(
-        _build_packets(setup, extra)[fidx], ux, uy)
+    raw = _build_packets(setup, extra)[fidx]
+    if valid_now is not None:
+        # Planned path: rows covering future-only triangles carry
+        # garbage current-frame lanes — nan-clean the plan image and
+        # kill-mask this frame's packets to the CURRENT validity.
+        raw = jnp.nan_to_num(raw)
+        alive = valid_now[fidx] & (sorted_keys < 2 * ntiles)
+        packets_sorted = _fold_union_cols(_kill_dead_rows(raw, alive),
+                                          ux, uy)
+    else:
+        packets_sorted = _fold_union_cols(raw, ux, uy)
     starts = jnp.searchsorted(sorted_keys,
                               jnp.arange(2 * ntiles + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)
@@ -320,8 +448,11 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     slots = jnp.where(hsel, hidx, alloc)
     hsrc = jnp.zeros((alloc,), jnp.int32).at[slots].set(arange_t,
                                                         mode="drop")
-    hbb = jnp.full((alloc, 4), -1, jnp.int32).at[slots].set(bbf,
-                                                            mode="drop")
+    # Scatter TILE-space rects (classification rects — the plan path's
+    # union rects, so huge row coverage stays a conservative cover).
+    trects = jnp.stack([tx0_f, ty0_f, tx1_f, ty1_f], axis=1)
+    hbb = jnp.full((alloc, 4), -1, jnp.int32).at[slots].set(
+        trects, mode="drop")
     hzq = jnp.full((alloc,), _ZQ_MAX, jnp.int32).at[slots].set(
         zq_f, mode="drop")
     n_huge = huge.sum()
@@ -329,11 +460,12 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     stats["huge_overflow"] = jnp.maximum(
         n_huge - huge_cap, 0).astype(jnp.int32)
 
-    htx0 = jnp.clip(hbb[:, 0] // TILE_W, 0, tx - 1)
-    htx1 = jnp.clip((hbb[:, 2] - 1) // TILE_W, 0, tx - 1)
-    hty0 = jnp.clip(hbb[:, 1] // TILE_H, 0, ty - 1)
-    hty1 = jnp.clip((hbb[:, 3] - 1) // TILE_H, 0, ty - 1)
-    live = (jnp.arange(alloc) < huge_count) & (hbb[:, 3] > hbb[:, 1])
+    htx0 = jnp.clip(hbb[:, 0], 0, tx - 1)
+    htx1 = jnp.clip(hbb[:, 2], 0, tx - 1)
+    hty0 = jnp.clip(hbb[:, 1], 0, ty - 1)
+    hty1 = jnp.clip(hbb[:, 3], 0, ty - 1)
+    live = (jnp.arange(alloc) < huge_count) & (hbb[:, 3] >= hbb[:, 1]) \
+        & (hbb[:, 1] >= 0)
     rows = jnp.arange(ty, dtype=jnp.int32)[None, :]        # (alloc, ty)
     pair_mask = live[:, None] & (rows >= hty0[:, None]) \
         & (rows <= hty1[:, None])
@@ -354,12 +486,180 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     hux, huy = _chunk_union_cols(
         pair_slot.shape[0], htx0[pair_slot], hty0[pair_slot],
         htx1[pair_slot], hty1[pair_slot], sorted_rows < ty)
-    huge_rows = _fold_union_cols(
-        _build_packets(setup, extra, idx=hsrc)[pair_slot], hux, huy)
+    hraw = _build_packets(setup, extra, idx=hsrc)[pair_slot]
+    if valid_now is not None:
+        hraw = _kill_dead_rows(
+            jnp.nan_to_num(hraw),
+            valid_now[hsrc][pair_slot] & (sorted_rows < ty))
+    huge_rows = _fold_union_cols(hraw, hux, huy)
     huge_row_starts = jnp.searchsorted(
         sorted_rows, jnp.arange(ty + 1, dtype=jnp.int32),
         side="left").astype(jnp.int32)
-    return packets_sorted, starts, huge_rows, huge_row_starts, stats
+
+    plan = None
+    if emit_plan:
+        # Planned cover rects per sorted row, derived from the key:
+        # exact rows cover exactly their tile; window rows the FULL
+        # (span_w, span_h) window the kernels scan from the bin origin
+        # (more permissive than the classified span — drift stays valid
+        # until the triangle leaves what the kernel actually reads);
+        # dead rows get a full-screen rect so they can never trigger a
+        # violation.
+        k = sorted_keys
+        is_exact = k < ntiles
+        is_dead = k >= 2 * ntiles
+        b = jnp.where(is_exact, k, k - ntiles)
+        bx = b % tx
+        by = b // tx
+        r0 = jnp.where(is_dead, 0, bx)
+        r1 = jnp.where(is_dead, 0, by)
+        r2 = jnp.where(is_dead, tx - 1,
+                       jnp.where(is_exact, bx,
+                                 jnp.minimum(bx + span_w - 1, tx - 1)))
+        r3 = jnp.where(is_dead, ty - 1,
+                       jnp.where(is_exact, by,
+                                 jnp.minimum(by + span_h - 1, ty - 1)))
+        member = jnp.where(small_f, 1, jnp.where(huge, 2, 0)) \
+            .astype(jnp.int32)
+        hcover = jnp.stack(
+            [jnp.where(live, hty0, 0),
+             jnp.where(live, hty1, ty - 1)], axis=1).astype(jnp.int32)
+        plan = BinPlan(
+            flag=jnp.ones((1,), jnp.int32),
+            payload=raw,        # already nan-cleaned above (valid_now path)
+            src=fidx.astype(jnp.int32),
+            rect=jnp.stack([r0, r1, r2, r3], axis=1).astype(jnp.int32),
+            starts=starts,
+            member=member,
+            huge_src=hsrc.astype(jnp.int32),
+            huge_slot=pair_slot.astype(jnp.int32),
+            huge_starts=huge_row_starts,
+            huge_cover=hcover)
+    return packets_sorted, starts, huge_rows, huge_row_starts, plan, stats
+
+
+def bin_triangles_planned(setup: TriangleSetup, width: int, height: int,
+                          plan: BinPlan, future_fn=None,
+                          huge_cap: int = 1024,
+                          max_visible: int | None = None,
+                          span_w: int = SPAN_W, span_h: int = SPAN_H,
+                          extra=None, payload_dyn_cols: int = 9):
+    """bin_triangles with a carried BinPlan (see BinPlan docstring).
+
+    future_fn: nullary callable -> (valid, pixel_bbox) of the SAME
+    triangle list under a predicted-future camera; traced only inside
+    the re-bin branch, so its cost is paid per re-bin, not per frame.
+    Prediction quality only affects re-bin frequency — correctness is
+    enforced by the per-frame cover check regardless.
+
+    payload_dyn_cols: leading `extra` columns that are camera-dependent
+    (the folded adjugate the fused raster prepends) and must be rebuilt
+    every frame; the remaining columns must be FRAME-INVARIANT (vertex
+    attribute corners, material constants) — the caller is responsible
+    for disabling the plan when they are not (animation, ocean).
+
+    Returns (packets, starts, huge_rows, huge_row_starts, plan_out,
+    stats); stats gains "bin_rebin" (1 on re-bin frames).
+    """
+    tx = -(-width // TILE_W)
+    ty = -(-height // TILE_H)
+    T = setup.adj.shape[0]
+    valid_now = setup.valid
+    ctx0, cty0, ctx1, cty1 = _tile_rects(setup.bbox, width, height)
+
+    # --- conservative cover check (cheap, every frame) ------------------
+    cur = jnp.stack([ctx0, cty0, ctx1, cty1,
+                     valid_now.astype(jnp.int32)], axis=1)
+    pg = cur[plan.src]                                  # (Cp, 5) gather
+    pv = pg[:, 4] > 0
+    r = plan.rect
+    viol_small = jnp.any(pv & ((pg[:, 0] < r[:, 0]) | (pg[:, 1] < r[:, 1])
+                               | (pg[:, 2] > r[:, 2])
+                               | (pg[:, 3] > r[:, 3])))
+    hg = cur[plan.huge_src]                             # (alloc, 5)
+    viol_huge = jnp.any((hg[:, 4] > 0)
+                        & ((hg[:, 1] < plan.huge_cover[:, 0])
+                           | (hg[:, 3] > plan.huge_cover[:, 1])))
+    viol_new = jnp.any(valid_now & (plan.member == 0))
+    need_rebin = viol_small | viol_huge | viol_new | (plan.flag[0] == 0)
+
+    dyn_cols = 20 + payload_dyn_cols
+
+    def rebin(_):
+        if future_fn is None:
+            valid_f, bbox_f = valid_now, setup.bbox
+        else:
+            valid_f, bbox_f = future_fn()
+        ftx0, fty0, ftx1, fty1 = _tile_rects(bbox_f, width, height)
+        big = jnp.int32(1 << 14)
+
+        def umin(c, f):
+            return jnp.clip(jnp.minimum(jnp.where(valid_now, c, big),
+                                        jnp.where(valid_f, f, big)),
+                            0, big)
+
+        def umax(c, f, hi):
+            return jnp.clip(jnp.maximum(jnp.where(valid_now, c, -1),
+                                        jnp.where(valid_f, f, -1)),
+                            -1, hi)
+
+        rects = (umin(ctx0, ftx0), umin(cty0, fty0),
+                 umax(ctx1, ftx1, tx - 1), umax(cty1, fty1, ty - 1))
+        pk, st, hr, hs, plan_new, stats = _bin_core(
+            setup, width, height, huge_cap, max_visible, span_w, span_h,
+            extra, class_rects=rects, valid_any=valid_now | valid_f,
+            valid_now=valid_now, emit_plan=True)
+        stats["bin_rebin"] = jnp.int32(1)
+        return pk, st, hr, hs, plan_new, stats
+
+    def fast(_):
+        # Per-frame lanes rebuilt by ONE narrow gather in plan order;
+        # static lanes ride the carried payload image untouched.
+        edge15 = setup.edge.reshape(T, 15)
+        dyn_payload = extra[:, :payload_dyn_cols] if extra is not None \
+            else jnp.zeros((T, payload_dyn_cols), jnp.float32)
+        dyn = jnp.concatenate(
+            [edge15, setup.zplane, setup.offset, dyn_payload,
+             _tri_zmax(setup)[:, None]], axis=1)      # (T, dyn_cols+1)
+        ds = jnp.nan_to_num(dyn[plan.src])            # (Cp, dyn_cols+1)
+        alive = pv
+        lane20 = jax.lax.broadcasted_iota(jnp.int32, (1, 20), 1)
+        kill20 = jnp.where(lane20 == 2, -1.0, 0.0)
+        head20 = jnp.where(alive[:, None], ds[:, :20], kill20)
+        adj_dyn = jnp.where(alive[:, None],
+                            ds[:, 20:dyn_cols], 0.0)
+        zmax_col = jnp.where(alive, ds[:, dyn_cols], 0.0)[:, None]
+        ux, uy = _chunk_union_cols(
+            plan.src.shape[0], pg[:, 0], pg[:, 1], pg[:, 2], pg[:, 3],
+            alive)
+        pk = jnp.concatenate(
+            [head20,
+             plan.payload[:, 20:21],                       # triid
+             adj_dyn,
+             plan.payload[:, dyn_cols + 1:COL_ZMAX],       # static
+             zmax_col,
+             plan.payload[:, COL_ZMAX + 1:COL_UNION_X],    # zeros
+             ux, uy], axis=1)
+
+        # Huge stream: tiny population — rebuild fully via the carried
+        # slot maps (alloc<=~1k rows + row-expansion gather).
+        hraw = _build_packets(setup, extra, idx=plan.huge_src)
+        hraw = jnp.nan_to_num(hraw[plan.huge_slot])
+        halive = (valid_now[plan.huge_src])[plan.huge_slot]
+        hrect = jnp.stack([ctx0, cty0, ctx1, cty1],
+                          axis=1)[plan.huge_src][plan.huge_slot]
+        hux, huy = _chunk_union_cols(
+            plan.huge_slot.shape[0], hrect[:, 0], hrect[:, 1],
+            hrect[:, 2], hrect[:, 3], halive)
+        hr = _fold_union_cols(_kill_dead_rows(hraw, halive), hux, huy)
+        stats = {"visible_overflow": jnp.int32(0),
+                 "exact_entries": jnp.int32(0),
+                 "window_entries": jnp.int32(0),
+                 "huge_overflow": jnp.int32(0),
+                 "bin_rebin": jnp.int32(0)}
+        return pk, plan.starts, hr, plan.huge_starts, plan, stats
+
+    return jax.lax.cond(need_rebin, rebin, fast, None)
 
 
 CHUNK = 16               # packets per DMA (16 x 512B = 8KB transfers)

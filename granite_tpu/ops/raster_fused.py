@@ -424,8 +424,10 @@ def rasterize_resolve(setup: TriangleSetup, extra, width: int,
                       interpret: bool | None = None,
                       span_w: int = SPAN_W, span_h: int = SPAN_H,
                       has_prev: bool = False,
-                      max_visible: int | None = None):
-    """Fused binned raster + resolve.  Returns (planes (32, H, W) f32).
+                      max_visible: int | None = None,
+                      plan=None, future_fn=None):
+    """Fused binned raster + resolve.  Returns planes (32, H, W) f32,
+    or (planes, plan_out) when a BinPlan is passed.
 
     extra: (T, 46|55) payload from build_resolve_extra (corners +
     material constants); the offset-folded adjugate is prepended here.
@@ -433,6 +435,11 @@ def rasterize_resolve(setup: TriangleSetup, extra, width: int,
     max_visible: optional visibility-compaction capacity (shrinks the
     per-frame argsort to the post-cull survivor count; overflow DROPS
     geometry and is counted in stats — see bin_triangles).
+
+    plan/future_fn: cached-binning path (raster_binned.BinPlan) — the
+    per-frame argsort + packet gather run only when the carried plan's
+    cover check fails; `extra` columns must be frame-invariant then
+    (the adjugate prefix this function prepends is rebuilt per frame).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -450,9 +457,19 @@ def rasterize_resolve(setup: TriangleSetup, extra, width: int,
             [payload, jnp.zeros((T_, EXTRA_COLS - payload.shape[1]),
                                 jnp.float32)], axis=1)
 
-    packets, starts, huge_rows, huge_row_starts, stats = bin_triangles(
-        setup, width, height, huge_cap, span_w=span_w, span_h=span_h,
-        extra=payload, max_visible=max_visible)
+    plan_out = None
+    if plan is not None:
+        from .raster_binned import bin_triangles_planned
+        (packets, starts, huge_rows, huge_row_starts, plan_out,
+         stats) = bin_triangles_planned(
+            setup, width, height, plan, future_fn, huge_cap,
+            max_visible, span_w, span_h, extra=payload,
+            payload_dyn_cols=9)
+    else:
+        packets, starts, huge_rows, huge_row_starts, stats = \
+            bin_triangles(
+                setup, width, height, huge_cap, span_w=span_w,
+                span_h=span_h, extra=payload, max_visible=max_visible)
 
     import os as _os
     kernel = functools.partial(
@@ -486,7 +503,10 @@ def rasterize_resolve(setup: TriangleSetup, extra, width: int,
         out_shape=jax.ShapeDtypeStruct((NUM_PLANES, ph, pw), jnp.float32),
         interpret=interpret,
     )(starts, huge_row_starts, packets, huge_rows)
-    return planes[:, :height, :width]
+    planes = planes[:, :height, :width]
+    if plan is not None:
+        return planes, plan_out
+    return planes
 
 
 def fold_adjugate(setup: TriangleSetup):

@@ -692,10 +692,15 @@ def fused_raster_surface(scene: PackedScene, clip, object_mask,
                          width: int, height: int, lod_bias: float = 0.0,
                          prev_world_pos=None, bundles=None,
                          interpret=None, max_visible: int | None = None,
-                         material_textures: bool = True):
+                         material_textures: bool = True,
+                         bin_plan=None, future_clip_fn=None):
     """Raster + resolve through the fused Pallas mega-kernel
     (ops/raster_fused.py): zero per-pixel HBM gathers until the texture
-    fetch.  Returns (surf dict, depth)."""
+    fetch.  Returns (surf dict, depth), plus plan_out when a
+    raster_binned.BinPlan is passed (cached-binning path).
+
+    future_clip_fn: nullary -> clip positions under the predicted
+    future camera (traced only inside the re-bin branch)."""
     from ..ops.raster_fused import (
         PLANE_BASE, PLANE_BUNDLE, PLANE_COVERED, PLANE_DEPTH,
         PLANE_DUVDX, PLANE_DUVDY, PLANE_EMISSIVE, PLANE_MR, PLANE_NRM,
@@ -716,11 +721,23 @@ def fused_raster_surface(scene: PackedScene, clip, object_mask,
     from ..ops.raster_binned import SPAN_H, SPAN_W, TILE_H, TILE_W
     ntiles = (-(-width // TILE_W)) * (-(-height // TILE_H))
     span_w, span_h = (2, 8) if ntiles > 512 else (SPAN_W, SPAN_H)
-    planes = rasterize_resolve(setup, extra, width, height,
-                               interpret=interpret,
-                               span_w=span_w, span_h=span_h,
-                               has_prev=prev_world_pos is not None,
-                               max_visible=max_visible)
+    future_fn = None
+    if bin_plan is not None and future_clip_fn is not None:
+        def future_fn():
+            s_f = R.setup_triangles(future_clip_fn(), scene.indices,
+                                    width, height)
+            return s_f.valid & tri_visible, s_f.bbox
+    out = rasterize_resolve(setup, extra, width, height,
+                            interpret=interpret,
+                            span_w=span_w, span_h=span_h,
+                            has_prev=prev_world_pos is not None,
+                            max_visible=max_visible,
+                            plan=bin_plan, future_fn=future_fn)
+    plan_out = None
+    if bin_plan is not None:
+        planes, plan_out = out
+    else:
+        planes = out
 
     def ch(base, n):
         return jnp.moveaxis(planes[base:base + n], 0, -1)
@@ -737,6 +754,8 @@ def fused_raster_surface(scene: PackedScene, clip, object_mask,
         prev_pos=(ch(PLANE_PREV, 3) if prev_world_pos is not None
                   else None),
         textures=material_textures)
+    if bin_plan is not None:
+        return surf, planes[PLANE_DEPTH], plan_out
     return surf, planes[PLANE_DEPTH]
 
 
