@@ -49,7 +49,7 @@ def get_lib() -> ctypes.CDLL:
     u64p = ctypes.POINTER(ctypes.c_uint64)
     for name in ("decode_bc1", "decode_bc3", "decode_bc4", "decode_bc5",
                  "decode_bc7", "encode_bc1", "encode_bc3", "encode_bc4",
-                 "encode_bc5"):
+                 "encode_bc5", "encode_bc7"):
         fn = getattr(lib, name)
         fn.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int]
         fn.restype = None
@@ -79,6 +79,8 @@ def get_lib() -> ctypes.CDLL:
     lib.decode_bc6h.argtypes = [u8p, f32p, ctypes.c_int, ctypes.c_int,
                                 ctypes.c_int]
     lib.decode_bc6h.restype = None
+    lib.encode_bc6h.argtypes = [f32p, u8p, ctypes.c_int, ctypes.c_int]
+    lib.encode_bc6h.restype = None
     lib.decode_astc.argtypes = [u8p, u8p, ctypes.c_int, ctypes.c_int,
                                 ctypes.c_int, ctypes.c_int]
     lib.decode_astc.restype = None
@@ -166,6 +168,27 @@ def encode_bc4(rgba: np.ndarray) -> np.ndarray:
 def encode_bc5(rgba: np.ndarray) -> np.ndarray:
     """RG channels -> BC5/RGTC2 (normal-map XY)."""
     return _encode_bcn(rgba, "encode_bc5", 16)
+
+
+def encode_bc7(rgba: np.ndarray) -> np.ndarray:
+    """RGBA -> BC7 (mode-6 single-subset encoder; the reference
+    dispatches BC7 to an external ISPC encoder in
+    scene-export/texture_compression.cpp — this is a fresh spec
+    implementation, decodable by decode_blocks('bc7', ...))."""
+    return _encode_bcn(rgba, "encode_bc7", 16)
+
+
+def encode_bc6h(rgb: np.ndarray) -> np.ndarray:
+    """(H, W, 3) float32 linear HDR -> BC6H UF16 (mode-3 10.10
+    encoder; negatives clamp to 0 per the unsigned profile)."""
+    lib = get_lib()
+    h, w = rgb.shape[:2]
+    rgb = np.ascontiguousarray(rgb[..., :3], np.float32)
+    out = np.empty(((h + 3) // 4) * ((w + 3) // 4) * 16, np.uint8)
+    lib.encode_bc6h(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _u8(out), w, h)
+    return out
 
 
 def meshlet_encode(positions: np.ndarray, indices: np.ndarray):

@@ -2242,3 +2242,300 @@ void decode_astc(const uint8_t *src, uint8_t *dst, int width, int height,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BC7 / BC6H encoders (scene-export/texture_compression.cpp dispatches
+// these formats to external encoder libraries; here they are fresh
+// single-mode encoders against the D3D11.3 spec layouts, decodable by
+// the decoders above):
+//   * BC7  mode 6 (1 subset, 7.7 color+alpha endpoints + per-endpoint
+//     p-bit, 4-bit indices) — every RGBA block is representable;
+//   * BC6H mode 3 (10.10 one subset, untransformed, 4-bit indices),
+//     unsigned (UF16) — the HDR environment-map path.
+// Endpoints come from a principal-axis fit (power iteration on the
+// block covariance), indices from projection onto the endpoint segment.
+// ---------------------------------------------------------------------------
+
+namespace enc {
+
+struct BitWriter {
+    uint8_t *p;
+    int bit;
+    void put(uint32_t v, int n) {
+        for (int i = 0; i < n; i++) {
+            if ((v >> i) & 1) p[bit >> 3] |= (uint8_t)(1 << (bit & 7));
+            bit++;
+        }
+    }
+};
+
+// Principal axis of 16 k-dim points via 8 power iterations; falls back
+// to the per-channel range diagonal for near-constant blocks.
+static void principal_axis(const float pts[16][4], int k, float mean[4],
+                           float axis[4]) {
+    for (int c = 0; c < k; c++) mean[c] = 0.0f;
+    for (int i = 0; i < 16; i++)
+        for (int c = 0; c < k; c++) mean[c] += pts[i][c];
+    for (int c = 0; c < k; c++) mean[c] /= 16.0f;
+    float cov[4][4] = {};
+    for (int i = 0; i < 16; i++)
+        for (int a = 0; a < k; a++)
+            for (int b = 0; b < k; b++)
+                cov[a][b] += (pts[i][a] - mean[a]) * (pts[i][b] - mean[b]);
+    for (int c = 0; c < k; c++) axis[c] = 1.0f;
+    for (int it = 0; it < 8; it++) {
+        float nxt[4] = {};
+        for (int a = 0; a < k; a++)
+            for (int b = 0; b < k; b++)
+                nxt[a] += cov[a][b] * axis[b];
+        float n2 = 0.0f;
+        for (int c = 0; c < k; c++) n2 += nxt[c] * nxt[c];
+        if (n2 < 1e-12f) break;
+        float inv = 1.0f / std::sqrt(n2);
+        for (int c = 0; c < k; c++) axis[c] = nxt[c] * inv;
+    }
+    float n2 = 0.0f;
+    for (int c = 0; c < k; c++) n2 += axis[c] * axis[c];
+    if (n2 < 0.5f) {           // degenerate (flat block): unit diagonal
+        float inv = 1.0f / std::sqrt((float)k);
+        for (int c = 0; c < k; c++) axis[c] = inv;
+    }
+}
+
+// Project points on the axis, return endpoint targets at the extreme
+// projections (clamped per channel to [lo, hi]).
+static void block_range(const float pts[16][4], int k, float lo[4],
+                        float hi[4]) {
+    for (int c = 0; c < k; c++) { lo[c] = 1e30f; hi[c] = -1e30f; }
+    for (int i = 0; i < 16; i++)
+        for (int c = 0; c < k; c++) {
+            lo[c] = std::min(lo[c], pts[i][c]);
+            hi[c] = std::max(hi[c], pts[i][c]);
+        }
+}
+
+static void axis_endpoints(const float pts[16][4], int k, const float lo[4],
+                           const float hi[4], float e0[4], float e1[4]) {
+    float mean[4], axis[4];
+    principal_axis(pts, k, mean, axis);
+    float tmin = 1e30f, tmax = -1e30f;
+    for (int i = 0; i < 16; i++) {
+        float t = 0.0f;
+        for (int c = 0; c < k; c++) t += (pts[i][c] - mean[c]) * axis[c];
+        tmin = std::min(tmin, t);
+        tmax = std::max(tmax, t);
+    }
+    for (int c = 0; c < k; c++) {
+        e0[c] = std::min(hi[c], std::max(lo[c], mean[c] + tmin * axis[c]));
+        e1[c] = std::min(hi[c], std::max(lo[c], mean[c] + tmax * axis[c]));
+    }
+}
+
+// 4-bit index per point: nearest bc7_w4 weight to the segment
+// projection (exact for the decoder's integer lerp up to rounding).
+static void fit_indices4(const float pts[16][4], int k, const float d0[4],
+                         const float d1[4], int idx[16]) {
+    float axis[4], len2 = 0.0f;
+    for (int c = 0; c < k; c++) {
+        axis[c] = d1[c] - d0[c];
+        len2 += axis[c] * axis[c];
+    }
+    for (int i = 0; i < 16; i++) {
+        if (len2 < 1e-12f) { idx[i] = 0; continue; }
+        float t = 0.0f;
+        for (int c = 0; c < k; c++) t += (pts[i][c] - d0[c]) * axis[c];
+        float w = t / len2 * 64.0f;
+        int best = 0;
+        float bestd = 1e30f;
+        for (int p = 0; p < 16; p++) {
+            float d = w - (float)bc7_w4[p];
+            d = d < 0 ? -d : d;
+            if (d < bestd) { bestd = d; best = p; }
+        }
+        idx[i] = best;
+    }
+}
+
+// Least-squares endpoint refinement: given per-pixel weights from the
+// current indices, re-solve e0/e1 per channel (2x2 normal equations).
+// Keeps endpoints inside [lo, hi]; a near-singular system (all indices
+// equal) leaves the previous endpoints in place.
+static void ls_refine(const float pts[16][4], int k, const int idx[16],
+                      const float lo[4], const float hi[4],
+                      float e0[4], float e1[4]) {
+    float saa = 0.0f, sab = 0.0f, sbb = 0.0f;
+    float sap[4] = {}, sbp[4] = {};
+    for (int i = 0; i < 16; i++) {
+        float b = (float)bc7_w4[idx[i]] / 64.0f;
+        float a = 1.0f - b;
+        saa += a * a; sab += a * b; sbb += b * b;
+        for (int c = 0; c < k; c++) {
+            sap[c] += a * pts[i][c];
+            sbp[c] += b * pts[i][c];
+        }
+    }
+    float det = saa * sbb - sab * sab;
+    if (det < 1e-3f) return;   // near-uniform indices: keep previous fit
+    float inv = 1.0f / det;
+    for (int c = 0; c < k; c++) {
+        float v0 = (sbb * sap[c] - sab * sbp[c]) * inv;
+        float v1 = (saa * sbp[c] - sab * sap[c]) * inv;
+        e0[c] = std::min(hi[c], std::max(lo[c], v0));
+        e1[c] = std::min(hi[c], std::max(lo[c], v1));
+    }
+}
+
+// Quantize one BC7 mode-6 endpoint: 7-bit components + shared p-bit
+// chosen to minimize squared error (decoded 8-bit value = (q<<1)|p).
+static void quant_ep76(const float v[4], int q[4], int *pbit) {
+    long err[2] = {0, 0};
+    int qq[2][4];
+    for (int p = 0; p < 2; p++)
+        for (int c = 0; c < 4; c++) {
+            int q7 = (int)std::lround((v[c] - (float)p) * 0.5f);
+            q7 = std::min(127, std::max(0, q7));
+            qq[p][c] = q7;
+            long d = (long)std::lround(v[c]) - ((q7 << 1) | p);
+            err[p] += d * d;
+        }
+    int p = err[1] < err[0] ? 1 : 0;
+    *pbit = p;
+    for (int c = 0; c < 4; c++) q[c] = qq[p][c];
+}
+
+static void encode_bc7_block(const float pts[16][4], uint8_t out[16]) {
+    float e0[4], e1[4], lo[4], hi[4];
+    block_range(pts, 4, lo, hi);
+    axis_endpoints(pts, 4, lo, hi, e0, e1);
+    int q0[4], q1[4], p0, p1;
+    int idx[16];
+    float d0[4], d1[4];
+    for (int pass = 0; pass < 3; pass++) {
+        quant_ep76(e0, q0, &p0);
+        quant_ep76(e1, q1, &p1);
+        for (int c = 0; c < 4; c++) {
+            d0[c] = (float)((q0[c] << 1) | p0);
+            d1[c] = (float)((q1[c] << 1) | p1);
+        }
+        fit_indices4(pts, 4, d0, d1, idx);
+        if (pass < 2) ls_refine(pts, 4, idx, lo, hi, e0, e1);
+    }
+    if (idx[0] >= 8) {          // anchor MSB must be implicit zero
+        std::swap(p0, p1);
+        for (int c = 0; c < 4; c++) std::swap(q0[c], q1[c]);
+        for (int i = 0; i < 16; i++) idx[i] = 15 - idx[i];
+    }
+    memset(out, 0, 16);
+    BitWriter w = {out, 0};
+    w.put(0x40, 7);             // six 0s then a 1 -> mode 6
+    for (int c = 0; c < 3; c++) {
+        w.put((uint32_t)q0[c], 7);
+        w.put((uint32_t)q1[c], 7);
+    }
+    w.put((uint32_t)q0[3], 7);
+    w.put((uint32_t)q1[3], 7);
+    w.put((uint32_t)p0, 1);
+    w.put((uint32_t)p1, 1);
+    w.put((uint32_t)idx[0], 3);
+    for (int i = 1; i < 16; i++) w.put((uint32_t)idx[i], 4);
+}
+
+static uint16_t float_to_half_unsigned(float f) {
+    if (!(f > 0.0f)) return 0;              // negatives/NaN -> 0 (UF16)
+    if (f > 65504.0f) f = 65504.0f;
+    uint32_t bits;
+    memcpy(&bits, &f, 4);
+    int exp = (int)((bits >> 23) & 0xFF) - 127 + 15;
+    uint32_t man = bits & 0x7FFFFF;
+    if (exp <= 0) {                          // denormal half
+        man |= 0x800000;
+        int shift = 14 - exp;
+        return shift > 24 ? 0 : (uint16_t)(man >> shift);
+    }
+    if (exp >= 31) return 0x7BFF;
+    return (uint16_t)((exp << 10) | (man >> 13));
+}
+
+// Inverse of (b6_unq_unsigned(q, 10) * 31) >> 6 at the endpoints:
+// interior unq = q*64 + 32, endpoint half H needs unq U ~= H*64/31.
+static int quant_b6_ep(float h_bits) {
+    int q = (int)std::lround(h_bits * (64.0 / 31.0 / 64.0));
+    return std::min(1023, std::max(0, q));
+}
+
+static float dec_b6_ep(int q) {
+    return (float)((b6_unq_unsigned(q, 10) * 31) >> 6);
+}
+
+static void encode_bc6h_block(const float pts_h[16][4], uint8_t out[16]) {
+    float e0[4], e1[4], lo[4], hi[4];
+    block_range(pts_h, 3, lo, hi);
+    axis_endpoints(pts_h, 3, lo, hi, e0, e1);
+    int q0[3], q1[3];
+    int idx[16];
+    float d0[4] = {}, d1[4] = {};
+    for (int pass = 0; pass < 3; pass++) {
+        for (int c = 0; c < 3; c++) {
+            q0[c] = quant_b6_ep(e0[c]);
+            q1[c] = quant_b6_ep(e1[c]);
+            d0[c] = dec_b6_ep(q0[c]);
+            d1[c] = dec_b6_ep(q1[c]);
+        }
+        fit_indices4(pts_h, 3, d0, d1, idx);
+        if (pass < 2) ls_refine(pts_h, 3, idx, lo, hi, e0, e1);
+    }
+    if (idx[0] >= 8) {
+        for (int c = 0; c < 3; c++) std::swap(q0[c], q1[c]);
+        for (int i = 0; i < 16; i++) idx[i] = 15 - idx[i];
+    }
+    memset(out, 0, 16);
+    BitWriter w = {out, 0};
+    w.put(0x03, 5);             // mode 0x03: 10.10 one subset
+    for (int c = 0; c < 3; c++) w.put((uint32_t)q0[c], 10);
+    for (int c = 0; c < 3; c++) w.put((uint32_t)q1[c], 10);
+    w.put((uint32_t)idx[0], 3);
+    for (int i = 1; i < 16; i++) w.put((uint32_t)idx[i], 4);
+}
+
+}  // namespace enc
+
+extern "C" {
+
+void encode_bc7(const uint8_t *src, uint8_t *dst, int width, int height) {
+    int bw = (width + 3) / 4, bh = (height + 3) / 4;
+    for (int by = 0; by < bh; by++)
+        for (int bx = 0; bx < bw; bx++) {
+            float pts[16][4];
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    int px = std::min(bx * 4 + x, width - 1);
+                    int py = std::min(by * 4 + y, height - 1);
+                    const uint8_t *s = src + (py * width + px) * 4;
+                    for (int c = 0; c < 4; c++)
+                        pts[y * 4 + x][c] = (float)s[c];
+                }
+            enc::encode_bc7_block(pts, dst + (by * bw + bx) * 16);
+        }
+}
+
+// src: (H, W, 3) float32 linear HDR -> BC6H UF16 blocks.
+void encode_bc6h(const float *src, uint8_t *dst, int width, int height) {
+    int bw = (width + 3) / 4, bh = (height + 3) / 4;
+    for (int by = 0; by < bh; by++)
+        for (int bx = 0; bx < bw; bx++) {
+            float pts[16][4];
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    int px = std::min(bx * 4 + x, width - 1);
+                    int py = std::min(by * 4 + y, height - 1);
+                    const float *s = src + (py * width + px) * 3;
+                    for (int c = 0; c < 3; c++)
+                        pts[y * 4 + x][c] =
+                            (float)enc::float_to_half_unsigned(s[c]);
+                    pts[y * 4 + x][3] = 0.0f;
+                }
+            enc::encode_bc6h_block(pts, dst + (by * bw + bx) * 16);
+        }
+}
+
+}  // extern "C"

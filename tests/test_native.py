@@ -234,3 +234,82 @@ def test_encode_bc3_roundtrip():
     assert aerr.mean() < 10
     cerr = np.abs(out[..., :3].astype(int) - img[..., :3].astype(int))
     assert cerr.mean() < 16
+
+
+def test_encode_bc7_roundtrip():
+    """BC7 mode-6 encoder vs our spec decoder (the reference dispatches
+    BC7 encode to an external ISPC lib, texture_compression.cpp)."""
+    from granite_tpu.native import decode_blocks, encode_bc7
+    rng = np.random.RandomState(7)
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.stack([xx * 7 % 256, yy * 5 % 256, (xx + yy) * 3 % 256,
+                    np.full((32, 32), 255)], -1)
+    img = np.clip(img + rng.randint(-10, 10, (32, 32, 4)), 0,
+                  255).astype(np.uint8)
+    out = decode_blocks("bc7", encode_bc7(img), 32, 32)
+    err = out.astype(np.float32) - img.astype(np.float32)
+    psnr = 10 * np.log10(255.0 ** 2 / np.mean(err[..., :3] ** 2))
+    assert psnr >= 30.0, psnr
+    assert np.abs(err[..., 3]).max() <= 24
+
+
+def test_encode_bc7_mode_bits():
+    """Every emitted block must be mode 6 (low byte 0b_1000000)."""
+    from granite_tpu.native import encode_bc7
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (16, 16, 4), np.uint8)
+    blocks = np.asarray(encode_bc7(img)).reshape(-1, 16)
+    assert (blocks[:, 0] & 0x7F == 0x40).all()
+
+
+def test_encode_bc6h_roundtrip_smooth_hdr():
+    """BC6H UF16 mode-3 encoder vs our decoder on env-map-like smooth
+    HDR content (texture_compression.cpp BC6H row)."""
+    from granite_tpu.native import decode_bc6h, encode_bc6h
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float32)
+    env = np.stack([np.sin(xx / 9.0) + 1.1, np.cos(yy / 7.0) + 1.1,
+                    (xx + yy) / 40.0 + 0.1], -1) * 5.0
+    env = env.astype(np.float32)
+    dec = decode_bc6h(encode_bc6h(env), 32, 32)
+    snr = 10 * np.log10(np.mean(env ** 2) / np.mean((dec - env) ** 2))
+    assert snr >= 24.0, snr
+
+
+def test_encode_bc6h_bounded_and_unsigned():
+    """Decoded texels stay near the block range (no half-bit
+    overshoot) and negatives clamp to zero (UF16 profile)."""
+    from granite_tpu.native import decode_bc6h, encode_bc6h
+    rng = np.random.RandomState(9)
+    hdr = (rng.rand(16, 16, 3).astype(np.float32) ** 2) * 20.0
+    hdr[:4] *= 0.01
+    dec = decode_bc6h(encode_bc6h(hdr), 16, 16)
+    assert dec.max() <= hdr.max() * 1.1 + 1e-3
+    assert dec.min() >= 0.0
+    neg = np.full((4, 4, 3), -2.5, np.float32)
+    dneg = decode_bc6h(encode_bc6h(neg), 4, 4)
+    assert np.allclose(dneg, 0.0)
+
+
+def test_image_packer_bc7_bc6h(tmp_path):
+    """tools/image_packer --format bc7/bc6h produce loadable GTPX."""
+    import tools.image_packer as packer
+    from granite_tpu.native import decode_bc6h, decode_blocks, gtpx_load
+    from granite_tpu.utils.image_io import save_png
+    rng = np.random.RandomState(10)
+    img = rng.randint(0, 256, (8, 8, 4), np.uint8)
+    src = str(tmp_path / "in.png")
+    save_png(src, img)
+    out7 = str(tmp_path / "out7.gtpx")
+    assert packer.main([src, "--output", out7, "--format", "bc7"]) == 0
+    fmt, w, h, levels, _, payload = gtpx_load(out7)
+    assert (fmt, w, h, levels) == ("bc7", 8, 8, 1)
+    decode_blocks("bc7", np.frombuffer(payload, np.uint8), w, h)
+
+    hdrf = str(tmp_path / "in.npy")
+    np.save(hdrf, rng.rand(8, 8, 3).astype(np.float32) * 4.0)
+    out6 = str(tmp_path / "out6.gtpx")
+    assert packer.main([hdrf, "--output", out6, "--format", "bc6h",
+                        "--mips"]) == 0
+    fmt, w, h, levels, _, payload = gtpx_load(out6)
+    assert fmt == "bc6h" and levels == 4
+    decode_bc6h(np.frombuffer(payload[:64], np.uint8), 8, 8)
