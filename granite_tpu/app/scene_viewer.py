@@ -122,11 +122,16 @@ class ViewerConfig:
     # fused raster's sort permutation / bin ranges / static payload
     # lanes across frames and re-bin only when a triangle's tile cover
     # escapes the plan (classified on current+predicted-future camera).
-    # "auto" = on whenever the fused raster runs and the resolve
-    # payload is frame-invariant (no animation/morph/skinning, no
-    # ocean/ground displacement, fixed rasterMaxVisible); true/false
-    # force it (true still requires the invariance conditions).
-    bin_plan_cache: str = "auto"
+    # DEFAULT OFF: measured on hardware (round 5, 1080p bench, orbiting
+    # camera) the planned path is a 107.3 -> 164.0 ms/frame REGRESSION
+    # — the per-frame cover check + fast-path dynamic-lane gather +
+    # cond'd re-bins under camera motion cost more than the argsort
+    # they replace.  Enable ("true"/"auto") only for a truly static
+    # camera (e.g. fixed-view video playback), where the fast path
+    # runs every frame; it still requires a frame-invariant resolve
+    # payload (no animation/morphs, no ocean/ground, fixed
+    # rasterMaxVisible).
+    bin_plan_cache: str = "false"
     # MeshEncoding (resource_manager.hpp:85-92): "meshlet" re-encodes
     # static meshes through the MLT2 codec at load and decodes at
     # instantiation (MeshletDecoded); "classic" keeps raw SoA.
